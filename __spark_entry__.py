@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the engine's own code (entity_linking_spark.*), over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Float-producing queries round to 4 decimals on both sides so the
+value-hash compare is stable across engines.
+
+Queries without an oracle entry (xxhash64-based MinHash/SimHash/LSH paths
+— DuckDB has no xxhash64) are verified in tests/ against exhaustive
+Python oracles instead; the driver records a rows-only check for them.
 """
 
 from __future__ import annotations
@@ -12,27 +16,541 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational operator parity (SURVEY.md §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+def q_denormalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: mention⋈document-style double equi-join with broadcast dims
+    (reference src/transform_zeshel.py:13-14)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+    )
+
+
+def q_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: dict-overwrite dedup (reference src/transform_zeshel.py:16) —
+    keep the max-l_linenumber row per order."""
+    from entity_linking_spark.operators.transform import dedup_last_wins
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    # pack order+line into one sortable key so last-write-wins is total
+    keyed = li.withColumn("seq", F.col("l_linenumber").cast("long"))
+    return dedup_last_wins(keyed, ["l_orderkey"], "seq").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct-by-key (reference src/transform_zeshel.py:27-36)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("lang", "source").dropDuplicates(["lang", "source"])
+
+
+def q_union_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: corpora union + dedup (reference src/transform_zeshel.py:76-79)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).dropDuplicates(["nationkey"])
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-split counts (reference src/transform_zeshel.py:54,66-67)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_entity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: set-intersection audit (reference src/transform_zeshel.py:69-74)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return c.intersect(s).agg(F.count("*").alias("overlap"))
+
+
+def q_tiny_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: deterministic first-100 dev split (reference
+    src/transform_zeshel.py:57-63, made order-stable)."""
+    from entity_linking_spark.operators.transform import tiny_split
+
+    return tiny_split(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        n=100,
+        order_col="o_orderkey",
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-group top-k with deterministic tie-break (reference
+    src/eval_zeshel.py:48-50)."""
+    from entity_linking_spark.operators.topk import top_k_per_group
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    return top_k_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_orderkey"],
+        "l_extendedprice",
+        3,
+        tiebreak_cols=["l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+
+
+def q_semi_join_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: membership semi-join (reference src/eval_zeshel.py:50-52)."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-style left-anti join (SURVEY.md §2.6): customers without orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / ANN (reference src/eval_zeshel.py semantics)
+# ---------------------------------------------------------------------------
+
+def q_retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+W1+J3: brute-force cosine top-k retrieval rate over the
+    embeddings table — label plays 'true entity' (reference
+    src/eval_zeshel.py:38-53, all k in one pass)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    from entity_linking_spark.functions.vector import cosine_batch_udf
+    from entity_linking_spark.operators.topk import top_k_per_group
+
+    pairs = q.crossJoin(c).where(F.col("query_id") != F.col("corpus_id"))
+    scored = pairs.withColumn("cosine", cosine_batch_udf("q_emb", "c_emb"))
+    top = top_k_per_group(
+        scored.select("query_id", "q_label", "corpus_id", "c_label", "cosine"),
+        ["query_id"],
+        "cosine",
+        16,
+        tiebreak_cols=["corpus_id"],
+    )
+    per_query = top.groupBy("query_id", "q_label").agg(
+        F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rank"))).alias(
+            "true_rank"
+        )
+    )
+    aggs = [
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("true_rank").isNotNull() & (F.col("true_rank") <= k), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias(f"rate_k{k}")
+        for k in (1, 4, 8, 16)
+    ]
+    return per_query.agg(*aggs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (exact ANN baseline)."""
+    from entity_linking_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = brute_force_topk(q, c, k=5)
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate scale path) — no SQL oracle
+    (seeded hyperplanes not expressible); rows-only check."""
+    from entity_linking_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    out = lsh_topk(q, c, dim=dim, k=5, num_planes=6, num_tables=8)
+    return out.select(
+        "query_id", "corpus_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite over documents
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "dup_count")
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-token Jaccard ≥ 0.9 near-dup pairs (explode-join-agg, exact)."""
+    from entity_linking_spark.functions.text import normalize_text, words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(words(normalize_text("text"))).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+    ex = docs.select("id", F.explode("toks").alias("tok"))
+    a = ex.withColumnsRenamed({"id": "id_a"})
+    b = ex.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = docs.select("id", "n_toks")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_toks": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_toks": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — rows-only (xxhash64 not in DuckDB);
+    accuracy tested in tests/test_dedup.py vs brute force."""
+    from entity_linking_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=2, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only check."""
+    from entity_linking_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_linking_spark.functions.quality import (
+        mean_word_length,
+        punct_ratio,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(mean_word_length("text"), 4).alias("mean_word_len"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint — portable arithmetic, exact oracle."""
+    from entity_linking_spark.functions.hashing import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID — rows-only (CASE cascade with
+    array lambdas is not worth mirroring in SQL; goldens in tests/)."""
+    from entity_linking_spark.functions.quality import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering / events
+# ---------------------------------------------------------------------------
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC over a deterministic chain graph: edges link
+    consecutive vec_ids of the same label → one component per label, so the
+    oracle is min(vec_id) over label (portable SQL)."""
+    from pyspark.sql import Window
+
+    from entity_linking_spark.operators.cluster import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    edges = (
+        emb.withColumn("nxt", F.lead("vec_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.format_string("v%08d", "vec_id").alias("src"),
+            F.format_string("v%08d", "nxt").alias("dst"),
+        )
+    )
+    return connected_components(edges).select("node", "cluster_id")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: retrieval-rate over sf0.001 embeddings (the reference's
+    headline metric, src/eval_zeshel.py:33-35, computed in one pass)."""
+    return q_retrieval_rate(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "denormalize_join": q_denormalize_join,
+        "dedup_last_wins": q_dedup_last_wins,
+        "distinct_entities": q_distinct_entities,
+        "union_corpora": q_union_corpora,
+        "split_counts": q_split_counts,
+        "entity_overlap": q_entity_overlap,
+        "tiny_split": q_tiny_split,
+        "topk_per_group": q_topk_per_group,
+        "semi_join_truth": q_semi_join_truth,
+        "anti_join_resume": q_anti_join_resume,
+        "retrieval_rate": q_retrieval_rate,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "connected_components": q_connected_components,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "denormalize_join": """
+            SELECT o_orderkey, c_name, n_name, o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "dedup_last_wins": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC
+            ) = 1
+        """,
+        "distinct_entities": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "union_corpora": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "split_counts": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "entity_overlap": """
+            SELECT count(*) AS overlap FROM (
+                SELECT DISTINCT c_nationkey AS k FROM customer
+                INTERSECT
+                SELECT DISTINCT s_nationkey AS k FROM supplier
+            )
+        """,
+        "tiny_split": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 100
+        """,
+        "topk_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber ASC
+                   ) AS INTEGER) AS rank
+            FROM lineitem
+            WHERE l_orderkey <= 500
+            QUALIFY rank <= 3
+        """,
+        "semi_join_truth": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+            )
+        """,
+        "anti_join_resume": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "retrieval_rate": """
+            WITH pairs AS (
+                SELECT q.vec_id AS query_id, q.label AS q_label,
+                       c.label AS c_label,
+                       list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+                       c.vec_id AS corpus_id
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, q_label, c_label,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, corpus_id ASC
+                       ) AS rank
+                FROM pairs
+                QUALIFY rank <= 16
+            ),
+            per_query AS (
+                SELECT query_id, q_label,
+                       min(CASE WHEN c_label = q_label THEN rank END) AS true_rank
+                FROM ranked GROUP BY query_id, q_label
+            )
+            SELECT
+                round(avg(CASE WHEN true_rank IS NOT NULL AND true_rank <= 1 THEN 1.0 ELSE 0.0 END), 4) AS rate_k1,
+                round(avg(CASE WHEN true_rank IS NOT NULL AND true_rank <= 4 THEN 1.0 ELSE 0.0 END), 4) AS rate_k4,
+                round(avg(CASE WHEN true_rank IS NOT NULL AND true_rank <= 8 THEN 1.0 ELSE 0.0 END), 4) AS rate_k8,
+                round(avg(CASE WHEN true_rank IS NOT NULL AND true_rank <= 16 THEN 1.0 ELSE 0.0 END), 4) AS rate_k16
+            FROM per_query
+        """,
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC
+                   ) AS INTEGER) AS rank,
+                   round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 30 AND q.vec_id <> c.vec_id
+            QUALIFY rank <= 5
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_dedup": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_distinct(string_split_regex(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       )) AS toks
+                FROM documents
+            ),
+            sized AS (SELECT id, toks, len(toks) AS n_toks FROM toks),
+            ex AS (SELECT id, unnest(toks) AS tok FROM sized),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+                FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n_toks + sb.n_toks - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sized sa ON sa.id = id_a
+            JOIN sized sb ON sb.id = id_b
+            WHERE n_inter / (sa.n_toks + sb.n_toks - n_inter) >= 0.9
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1), 4) AS punct_ratio,
+                   round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t)))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 4) AS stopword_ratio,
+                   round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t)))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 4) AS mean_word_len
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "connected_components": """
+            SELECT format('v{:08d}', vec_id) AS node,
+                   format('v{:08d}', min(vec_id) OVER (PARTITION BY label)) AS cluster_id
+            FROM embeddings
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,156 @@
+"""N-grams, MinHash, LSH bands, SimHash, rolling-hash fingerprints.
+
+Everything here is a pure Column expression (JVM-side: xxhash64 +
+higher-order array functions), so signature computation stays inside
+whole-stage codegen and shuffles nothing extra.  This replaces the
+reference's exhaustive M×N scoring (reference src/eval_zeshel.py:44) with
+sub-quadratic candidate generation, per the north rule.
+
+Scale notes: MinHash signatures are computed in the scan stage projection
+(no shuffle); the only shuffle is the band-key equi-join in blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+MAX_LONG = (1 << 63) - 1
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def char_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Array of character n-grams; a string shorter than n yields itself."""
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(words_col: Column | str, k: int = 2) -> Column:
+    """Array of k-word shingles from an array<string> of words."""
+    w = _c(words_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def minhash_signature(tokens: Column | str, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes) of a token array.
+
+    Hash family: xxhash64(seed*1000+i, token) per permutation i — each seed
+    gives an independent 64-bit hash, min-folded element-wise across tokens.
+    Empty token array → all MAX_LONG (matches "empty set" semantics).
+    """
+    t = _c(tokens)
+    per_token = F.transform(
+        t,
+        lambda tok: F.array(
+            *[F.xxhash64(F.lit(seed * 1000 + i), tok) for i in range(num_hashes)]
+        ),
+    )
+    init = F.array(*[F.lit(MAX_LONG).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        per_token, init, lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q))
+    )
+
+
+def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
+    """Array of band keys 'b{i}:{hash(band slice)}' for LSH bucketing.
+
+    Two sets collide on band i iff their signature rows [i*r, (i+1)*r) are
+    identical — the standard banding amplification of MinHash Jaccard.
+    """
+    sig = _c(signature)
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"b{i}"),
+                F.xxhash64(F.lit(i), F.slice(sig, i * rows_per_band + 1, rows_per_band)).cast("string"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def _simhash_reduce_udf():
+    """Arrow UDF: array<long> token hashes → 64-bit SimHash.
+
+    Bit votes are ±1 per bit of each token hash; the sign of each bit-sum
+    forms the fingerprint.  numpy bit ops over the whole batch — the pure
+    Column-expression formulation (64-way per-bit expression tree) was
+    ~100× slower to evaluate, so hashing stays JVM-side (xxhash64) and only
+    this reduction crosses to Python, Arrow-batched.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def reduce_udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return reduce_udf
+
+
+_simhash_udf = None
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash of a token array (bigint).
+
+    Token hashing is JVM-side (xxhash64 in a transform); the bit-vote
+    reduction is a vectorized Arrow UDF (see _simhash_reduce_udf).
+    Near-duplicate texts land within small Hamming distance — pair with
+    ``hamming64`` for dedup."""
+    global _simhash_udf
+    if _simhash_udf is None:
+        _simhash_udf = _simhash_reduce_udf()
+    t = _c(tokens)
+    token_hashes = F.transform(t, lambda tok: F.xxhash64(tok))
+    return _simhash_udf(token_hashes)
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def rolling_fingerprint(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Deterministic polynomial rolling hash over characters (document
+    fingerprint).  acc = (acc*base + codepoint) mod mod — portable to any
+    SQL engine (same arithmetic reproducible in DuckDB)."""
+    c = _c(col)
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
+    )
+
+
+def salted_key(key: Column | str, id_col: Column | str, num_salts: int) -> Column:
+    """key → 'key#s' with s = pmod(xxhash64(id), num_salts) — explicit hot-key
+    salting (north rule).  The other join side must explode all num_salts
+    variants; see operators/blocking.py."""
+    return F.concat_ws("#", _c(key), F.pmod(F.xxhash64(_c(id_col)), F.lit(num_salts)).cast("string"))

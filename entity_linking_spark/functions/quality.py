@@ -1,0 +1,94 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side.
+
+Beyond the reference's operator set (SURVEY.md §2.10): language-ID
+(stopword-hit heuristic), quality scoring (length/punctuation/stopword
+ratios), token counting (whitespace + BPE-ish regex), document
+fingerprinting (see functions/hashing.py:rolling_fingerprint).  These run
+in the scan-stage projection: no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.text import words
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    return F.size(words(_c(col)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish units: word chunks of ≤4 chars + digits + punctuation
+    marks — a deterministic proxy for subword token counts."""
+    c = _c(col)
+    return F.size(
+        F.filter(
+            F.split(F.lower(c), r"(?<=\G.{4})(?=\w)|\W+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    total = F.greatest(F.length(c), F.lit(1))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / total
+
+
+def _stopword_hits(ws: Column, lang: str) -> Column:
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(ws, lambda w: F.array_position(sw_arr, w) > 0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    ws = words(F.lower(_c(col)))
+    return _stopword_hits(ws, lang) / F.greatest(F.size(ws), F.lit(1))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    ws = words(_c(col))
+    total = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return total / F.greatest(F.size(ws), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards mid-range doc length, sane
+    mean word length, and low punctuation density."""
+    c = _c(col)
+    n_words = F.size(words(c)).cast("double")
+    len_score = F.least(n_words / 20.0, F.lit(1.0))
+    mwl = mean_word_length(c)
+    word_len_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    return (len_score + word_len_score + punct_score) / 3.0
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-hit language guess over {en,fr,es,de}, 'zh' when CJK chars
+    dominate, 'und' when nothing matches.  Deterministic tie-break by
+    language-code order."""
+    c = _c(col)
+    ws = words(F.lower(c))
+    scores = {lang: _stopword_hits(ws, lang) for lang in STOPWORDS}
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    best = F.greatest(*scores.values())
+    expr = F.when(cjk * 3 > F.length(c), F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))

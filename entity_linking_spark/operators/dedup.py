@@ -1,0 +1,220 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five dedup families over a (id, text) corpus — each sub-quadratic via
+key-based candidate generation, never an O(n²) cross join:
+
+- exact:          md5 hash-groupBy (one shuffle on the hash)
+- ngram-jaccard:  shared-n-gram candidates → exact Jaccard verify
+- MinHash-LSH:    shingle → minhash → band keys → bucket join → verify
+- SimHash:        64-bit fingerprint → 16-bit band buckets → Hamming ≤ t
+  (any pair within Hamming distance 3 shares at least one of 4 bands —
+  pigeonhole guarantee)
+- embedding:      cosine ≥ t via the ANN operators (operators/ann.py)
+
+Each returns either pair edges (for clustering) or a keep/drop assignment
+(representative = min id, consistent with cluster.py's min convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.hashing import (
+    char_ngrams,
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from entity_linking_spark.functions.text import normalize_text, words
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per exact text; adds dup_count."""
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    reps = hashed.groupBy("__h").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+    return hashed.drop("dup_count").join(reps.select("__h", id_col, "dup_count"),
+                                         ["__h", id_col]).drop("__h")
+
+
+def _pair_candidates_by_key(keys: DataFrame, max_bucket: int = 10_000) -> DataFrame:
+    """(id_a < id_b) candidate pairs from an (id, key) stream via self-join.
+
+    Buckets larger than ``max_bucket`` are dropped (quadratic blowup guard:
+    a 10^6-doc bucket would emit 10^12 pairs); near-dup content that common
+    is caught by the exact-dedup pass instead."""
+    from pyspark import StorageLevel
+
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()  # eager: consumed by the size agg and both join sides
+    sizes = keys.groupBy("key").agg(F.count("*").alias("n"))
+    ok = F.broadcast(sizes.where(F.col("n") <= max_bucket).select("key"))
+    k = keys.join(ok, "key")
+    a = k.select("key", F.col("id").alias("id_a"))
+    b = k.select("key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs.
+
+    Candidates: docs sharing any n-gram (bounded buckets); verification:
+    |A∩B| via an explode-join-count, |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
+    """
+    from pyspark import StorageLevel
+
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(normalize_text(F.col(text_col)), n=n, distinct=True).alias("grams"),
+    ).withColumn("n_grams", F.size("grams"))
+
+    # consumed by candidate gen + both sides of the intersection join
+    exploded = norm.select("id", F.explode("grams").alias("key")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
+
+    ga = exploded.withColumnsRenamed({"id": "id_a", "key": "g"})
+    gb = exploded.withColumnsRenamed({"id": "id_b", "key": "g"})
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = norm.select("id", "n_grams")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: word-shingle sets → signatures → band
+    bucket join → signature-agreement estimate of Jaccard ≥ threshold.
+
+    The estimate (fraction of agreeing minhashes) avoids a second pass
+    over raw token sets; with 64 hashes the estimator's σ ≈ 0.06.
+    """
+    rows_per_band = num_hashes // bands
+    from entity_linking_spark.functions.hashing import word_shingles
+
+    from pyspark import StorageLevel
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            F.array_distinct(word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)),
+            num_hashes=num_hashes,
+        ).alias("sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()  # eager: consumed by band keys + both verification joins
+    keys = sigs.select(
+        "id", F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("key")
+    )
+    cand = _pair_candidates_by_key(keys, max_bucket=max_bucket)
+
+    sa = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sb = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                    lambda x: x,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    return est
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint, bucketed on its four
+    16-bit bands (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band), verified
+    with bit_count(xor) ≤ max_hamming."""
+    from pyspark import StorageLevel
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(words(normalize_text(F.col(text_col)))).alias("fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count()  # eager: consumed by band keys + both verification joins
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"s{i}"),
+                F.shiftright(F.col("fp"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+            )
+            for i in range(4)
+        ]
+    )
+    keys = fp.select("id", F.explode(band_arr).alias("key"))
+    cand = _pair_candidates_by_key(keys, max_bucket=max_bucket)
+    fa = fp.withColumnsRenamed({"id": "id_a", "fp": "fp_a"})
+    fb = fp.withColumnsRenamed({"id": "id_b", "fp": "fp_b"})
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming64("fp_a", "fp_b"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_assignment(df: DataFrame, id_col: str, pair_edges: DataFrame) -> DataFrame:
+    """(id, keep_id) from near-dup pair edges via connected components:
+    every doc maps to its component-min representative."""
+    from entity_linking_spark.operators.cluster import connected_components
+
+    edges = pair_edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cc.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("keep_id"))
+    )

@@ -1,0 +1,88 @@
+"""Transform stage: denormalize mentions against document corpora.
+
+Spark-first re-expression of reference src/transform_zeshel.py:
+- the corpus dict build + per-mention lookups (':40-49', ':13-14') are two
+  broadcast hash equi-joins (the documents side is the small build side,
+  exactly the reference's choice of build side);
+- dict key-overwrite dedup (':16', ':29-31') is dropDuplicates with an
+  explicit deterministic order (the reference relies on file order; here
+  a sort key makes last-write-wins reproducible under parallelism);
+- the corpora union (':76-79') is unionByName + dropDuplicates.
+
+At 100 TB the documents side stops being broadcastable: the same code path
+then sort-merge-joins with AQE; callers can pre-bucket both sides on
+(corpus, document_id) to eliminate the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def denormalize_mentions(
+    mentions: DataFrame,
+    documents: DataFrame,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """mentions ⋈ documents on (corpus, context_document_id) and again on
+    (corpus, label_document_id) → nested source_document / label_document
+    structs (reference src/transform_zeshel.py:12-16)."""
+    docs = documents.select(
+        "corpus",
+        "document_id",
+        F.struct("document_id", "title", "text").alias("doc"),
+    )
+    if use_broadcast:
+        docs = F.broadcast(docs)
+
+    src = docs.withColumnsRenamed({"document_id": "context_document_id", "doc": "source_document"})
+    lbl = docs.withColumnsRenamed({"document_id": "label_document_id", "doc": "label_document"})
+
+    out = (
+        mentions.join(src, ["corpus", "context_document_id"], "inner")
+        .join(lbl, ["corpus", "label_document_id"], "inner")
+    )
+    return dedup_last_wins(out, ["mention_id"], order_col="mention_id")
+
+
+def dedup_last_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Deterministic dedup-by-key (reference dict overwrite semantics,
+    src/transform_zeshel.py:16).  Uses max_by via a struct-ordering agg so
+    it stays a single hash aggregation (map-side partial agg), not a
+    window sort."""
+    others = [c for c in df.columns if c not in keys]
+    packed = F.struct(F.col(order_col).alias("__ord"), F.struct(*others).alias("__row"))
+    agg = df.groupBy(*keys).agg(F.max(packed).alias("__p"))
+    return agg.select(*keys, *[F.col(f"__p.__row.{c}").alias(c) for c in others])
+
+
+def combine_entities(denorm_mentions: DataFrame) -> DataFrame:
+    """Distinct label documents (reference src/transform_zeshel.py:27-36)."""
+    ents = denorm_mentions.select(
+        F.col("label_document.document_id").alias("document_id"),
+        F.col("label_document.title").alias("title"),
+        F.col("label_document.text").alias("text"),
+    )
+    return dedup_last_wins(ents, ["document_id"], order_col="document_id")
+
+
+def union_corpora(*corpora: DataFrame) -> DataFrame:
+    """all_docs union with last-write-wins by document_id
+    (reference src/transform_zeshel.py:76-79)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), corpora)
+    return dedup_last_wins(unioned, ["document_id"], order_col="document_id")
+
+
+def tiny_split(mentions: DataFrame, n: int = 100, order_col: str = "mention_id") -> DataFrame:
+    """Deterministic dev split: first n by explicit order (reference takes
+    file-order head, src/transform_zeshel.py:57-63; an explicit sort makes
+    it stable under partitioning)."""
+    return mentions.orderBy(order_col).limit(n)
+
+
+def entity_overlap_counts(a: DataFrame, b: DataFrame, key: str = "document_id") -> int:
+    """Split-overlap audit (reference src/transform_zeshel.py:69-74)."""
+    return a.select(key).intersect(b.select(key)).count()

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the record-linkage workload.
+
+Scale notes (the settings below are chosen for a 1000-executor cluster
+reading ~100 TB, then scaled down for local[N] testing):
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting.
+  Hot entity names (Zipfian blocking keys) are first salted explicitly in
+  ``operators/blocking.py``; AQE skew-join is the second line of defense.
+- ``spark.sql.shuffle.partitions`` defaults to 2× cores locally; on a real
+  cluster you want ~2-3× total executor cores (set via spark-submit conf).
+- Arrow is enabled for all pandas UDF traffic; batches sized so a
+  128-float embedding column batch stays well under executor memory.
+- Parquet scans keep default 128 MiB ``maxPartitionBytes`` — at 100 TB that
+  is ~800k input splits, which is the right granularity for 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "entity-linking-spark",
+    master: str | None = None,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

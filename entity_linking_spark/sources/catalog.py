@@ -1,0 +1,137 @@
+"""Stage-table catalog: Iceberg when available, Parquet + JSON manifest
+otherwise — one seam so cluster deployments flip a config.
+
+Plays the role the reference delegates to materialized JSON intermediates
+(reference src/transform_zeshel.py:18-22 written, src/zeshel_dataset.py:50
+re-read) and PyTorch-Lightning checkpoints (src/train_zeshel.py:44-51):
+every pipeline stage lands in a table with a snapshot id, so a failed run
+resumes from the last complete stage instead of recomputing.
+
+Iceberg path: requires the runtime jar + a configured catalog
+(spark.sql.catalog.* with iceberg); then tables are real Iceberg tables
+with native snapshots.  Fallback path (this sandbox): Parquet directories
+under ``root`` plus ``_manifest.json`` carrying {stage → snapshot_id,
+rows, schema, complete} — same API either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        for key in ("spark.sql.catalog.spark_catalog", "spark.sql.catalog.local"):
+            val = spark.conf.get(key, "") or ""
+            if "iceberg" in val.lower():
+                return True
+    except Exception:
+        pass
+    return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = iceberg_available(spark)
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # -- table IO -----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write a stage table; returns its snapshot id and records
+        per-partition lineage metrics (north rule)."""
+        if self.use_iceberg:
+            writer = df.writeTo(f"local.db.{name}").using("iceberg")
+            writer.createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._path(name))
+
+        rows = self.spark.read.parquet(self._path(name)).count() if not self.use_iceberg else None
+        snapshot_id = f"{name}-{int(time.time() * 1000)}"
+        m = self._manifest()
+        m[name] = {
+            "snapshot_id": snapshot_id,
+            "rows": rows,
+            "schema": df.schema.simpleString(),
+            "complete": True,
+        }
+        self._save_manifest(m)
+        self._write_lineage_metrics(name, snapshot_id)
+        return snapshot_id
+
+    def _write_lineage_metrics(self, name: str, snapshot_id: str) -> None:
+        """Per-partition row counts for the stage table — the lineage
+        metric the north rule requires per stage."""
+        df = self.read(name)
+        metrics = (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+        )
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(self.root, "_metrics", name)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"local.db.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def read_metrics(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_metrics", name))
+
+    def is_complete(self, name: str) -> bool:
+        entry = self._manifest().get(name)
+        return bool(entry and entry.get("complete"))
+
+    def snapshot_id(self, name: str) -> str | None:
+        entry = self._manifest().get(name)
+        return entry.get("snapshot_id") if entry else None
+
+    def invalidate(self, name: str) -> None:
+        m = self._manifest()
+        if name in m:
+            m[name]["complete"] = False
+            self._save_manifest(m)
+
+    def get_or_compute(self, name: str, compute, resume: bool = True) -> DataFrame:
+        """Resume seam: reuse the stage table when complete, else compute,
+        persist, and return the persisted copy (so downstream stages read
+        the checkpoint, cutting lineage)."""
+        if resume and self.is_complete(name):
+            return self.read(name)
+        self.write(name, compute())
+        return self.read(name)

@@ -1,0 +1,11 @@
+import pytest
+
+from entity_linking_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="el-tests", cores=8, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

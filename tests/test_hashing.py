@@ -1,0 +1,105 @@
+"""MinHash / SimHash / n-gram / fingerprint determinism & accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.hashing import (
+    char_ngrams,
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+    word_shingles,
+)
+from entity_linking_spark.functions.text import words
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], "t string")
+    got = [r["g"] for r in df.select(char_ngrams("t", 3, distinct=False).alias("g")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == ["ab"]   # shorter than n → the string itself
+    assert got[2] == [""]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(word_shingles(words("t"), 2).alias("s")).collect()[0]["s"]
+    assert got == ["a b", "b c", "c d"]
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature-agreement fraction ≈ true Jaccard (±0.2 at 64 hashes)."""
+    a = set("the quick brown fox jumps over the lazy dog".split())
+    b = set("the quick brown fox leaps over a lazy cat".split())
+    true_j = len(a & b) / len(a | b)
+    df = spark.createDataFrame([(list(a), list(b))], "a array<string>, b array<string>")
+    est = df.select(
+        (
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        minhash_signature("a", 64), minhash_signature("b", 64),
+                        lambda p, q: p == q,
+                    ),
+                    lambda x: x,
+                )
+            )
+            / 64.0
+        ).alias("est")
+    ).collect()[0]["est"]
+    assert est == pytest.approx(true_j, abs=0.2)
+
+
+def test_minhash_deterministic(spark):
+    df = spark.createDataFrame([(["x", "y", "z"],)], "t array<string>")
+    s1 = df.select(minhash_signature("t", 16).alias("s")).collect()[0]["s"]
+    s2 = df.select(minhash_signature("t", 16).alias("s")).collect()[0]["s"]
+    assert s1 == s2
+    # identical sets → identical band keys
+    df2 = spark.createDataFrame([(["z", "y", "x"],)], "t array<string>")
+    s3 = df2.select(minhash_signature("t", 16).alias("s")).collect()[0]["s"]
+    assert s1 == s3  # set semantics: order must not matter
+
+
+def test_lsh_band_keys_shape(spark):
+    df = spark.createDataFrame([(["x", "y"],)], "t array<string>")
+    keys = df.select(
+        lsh_band_keys(minhash_signature("t", 16), 4, 4).alias("k")
+    ).collect()[0]["k"]
+    assert len(keys) == 4
+    assert all(k.startswith("b") for k in keys)
+
+
+def test_simhash_near_duplicates_close(spark):
+    df = spark.createDataFrame(
+        [
+            ("doc1", "the quick brown fox jumps over the lazy dog today"),
+            ("doc2", "the quick brown fox jumps over the lazy cat today"),
+            ("doc3", "completely different words about spark query engines"),
+        ],
+        "id string, t string",
+    )
+    fp = df.select("id", simhash64(words("t")).alias("fp"))
+    fps = {r["id"]: r["fp"] for r in fp.collect()}
+    near = df.sparkSession.createDataFrame(
+        [(fps["doc1"], fps["doc2"]), (fps["doc1"], fps["doc3"])], "a long, b long"
+    )
+    h = [r["h"] for r in near.select(hamming64("a", "b").alias("h")).collect()]
+    assert h[0] < h[1]
+    assert h[0] <= 12
+
+
+def test_rolling_fingerprint_portable_arithmetic(spark):
+    """Same polynomial arithmetic as any-SQL-engine implementation."""
+    def oracle(s: str, base=31, mod=(1 << 31) - 1) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * base + ord(ch)) % mod
+        return acc
+
+    samples = ["", "a", "hello world", "Zebra!"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["f"] for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
+    assert got == [oracle(s) for s in samples]

@@ -1,0 +1,105 @@
+"""End-to-end gates: F1 ≥ 0.99, blocking recall, checkpoint/resume,
+determinism (SURVEY.md §5 new-engine test plan items 2-4)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_spark.fixtures import fixture_dataframes, generate_fixture
+from entity_linking_spark.plans.pipeline import (
+    PipelineConfig,
+    link_entities,
+    validate_extraction,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    fx = generate_fixture(num_pages=120, num_entities=40, seed=42)
+    return fixture_dataframes(spark, fx)
+
+
+@pytest.fixture(scope="module")
+def result(spark, fixture_dfs, tmp_path_factory):
+    pages, mentions, entities, labeled = fixture_dfs
+    wd = str(tmp_path_factory.mktemp("elwork"))
+    return (
+        link_entities(
+            spark, pages, mentions, entities,
+            PipelineConfig(workdir=wd), labeled_pairs=labeled,
+        ),
+        wd,
+    )
+
+
+def test_f1_gate(result):
+    res, _ = result
+    assert res["metrics"]["labeled"].f1 >= 0.99          # BASELINE gate
+    assert res["metrics"]["contingency"].f1 >= 0.99      # global pairwise
+    assert res["metrics"]["extract_mismatches"] == 0
+    assert res["metrics"]["blocking_recall"] >= 0.99
+
+
+def test_retrieval_rates_high(result):
+    res, _ = result
+    assert res["metrics"]["retrieval"]["retrieval_rate_k1"] >= 0.95
+    assert res["metrics"]["retrieval"]["retrieval_rate_k64"] >= 0.99
+
+
+def test_manifest_and_lineage_metrics(result):
+    res, wd = result
+    with open(os.path.join(wd, "_manifest.json")) as f:
+        manifest = json.load(f)
+    for stage in ["mentions_prepared", "entities_prepared", "candidates",
+                  "scored", "edges", "clusters"]:
+        assert manifest[stage]["complete"], stage
+        metrics = res["catalog"].read_metrics(stage)
+        assert metrics.agg(F.sum("rows")).collect()[0][0] == manifest[stage]["rows"]
+
+
+def test_resume_skips_complete_stages_and_is_identical(spark, fixture_dfs, result):
+    res, wd = result
+    pages, mentions, entities, labeled = fixture_dfs
+    cat = res["catalog"]
+    snap_before = {s: cat.snapshot_id(s) for s in ["mentions_prepared", "candidates"]}
+    # materialize run-1 output BEFORE the resume overwrites stage files
+    a1 = {(r["mention_id"], r["cluster_id"]) for r in res["assignment"].collect()}
+
+    # Simulate mid-pipeline failure: later stages lost, early stages intact.
+    cat.invalidate("edges")
+    cat.invalidate("clusters")
+
+    res2 = link_entities(
+        spark, pages, mentions, entities,
+        PipelineConfig(workdir=wd), labeled_pairs=labeled,
+    )
+    # early stages were NOT recomputed (same snapshot ids)...
+    for s, snap in snap_before.items():
+        assert res2["catalog"].snapshot_id(s) == snap
+    # ...and the final assignment is identical.
+    a2 = {(r["mention_id"], r["cluster_id"]) for r in res2["assignment"].collect()}
+    assert a1 == a2
+
+
+def test_determinism_across_runs(spark, fixture_dfs, tmp_path_factory):
+    pages, mentions, entities, labeled = fixture_dfs
+    wd2 = str(tmp_path_factory.mktemp("elwork2"))
+    res2 = link_entities(
+        spark,
+        pages.repartition(13),
+        mentions.repartition(7),
+        entities.repartition(3),
+        PipelineConfig(workdir=wd2),
+        labeled_pairs=labeled,
+    )
+    assert res2["metrics"]["labeled"].f1 >= 0.99
+
+
+def test_validate_extraction_catches_corruption(spark, fixture_dfs):
+    pages, _, _, _ = fixture_dfs
+    corrupted = pages.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" CORRUPTED"))
+    )
+    assert validate_extraction(corrupted) == corrupted.count()

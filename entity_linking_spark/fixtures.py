@@ -126,7 +126,14 @@ def generate_fixture(
     seed: int = 42,
     hot_fraction: float = 0.2,
     num_hot: int = 3,
+    max_labeled_per_key: int = 200,
 ) -> Fixture:
+    """``max_labeled_per_key`` bounds the labeled-pair enumeration per
+    blocking key (it is quadratic in key size — a hot key with 10^4
+    mentions would otherwise emit 10^8 pairs in driver Python).  The cap
+    takes the first N mentions per key in mention_id order, so the labeled
+    sample stays deterministic.  Set to 0 to skip labeled pairs entirely
+    (bench fixtures don't need them)."""
     rng = np.random.RandomState(seed)
     fx = Fixture()
 
@@ -220,10 +227,11 @@ def generate_fixture(
 
     # Labeled pairs at shared blocking key (FIXTURES.md §4).
     by_key: dict[str, list[dict]] = {}
-    for m in fx.mentions:
-        by_key.setdefault(blocking_key_of(m["surface"]), []).append(m)
+    if max_labeled_per_key > 0:
+        for m in fx.mentions:
+            by_key.setdefault(blocking_key_of(m["surface"]), []).append(m)
     for key, ms in sorted(by_key.items()):
-        ms = sorted(ms, key=lambda m: m["mention_id"])
+        ms = sorted(ms, key=lambda m: m["mention_id"])[:max_labeled_per_key]
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 fx.labeled_pairs.append(

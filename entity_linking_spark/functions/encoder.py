@@ -64,7 +64,27 @@ def make_embed_udf(dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM):
     return embed_udf
 
 
+def make_embed_binary_udf(dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM):
+    """Packed little-endian float32 bytes instead of array<float>.
+
+    Binary transfer through Arrow is one contiguous buffer + one bytes
+    object per row; the array<float> representation materializes a Python
+    list/ndarray per row on every downstream UDF crossing AND costs boxed
+    per-element evaluation in JVM higher-order functions.  The packed form
+    feeds the fused pair-scoring UDF (operators/scoring.py) — unpack is a
+    single np.frombuffer over the whole batch."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def embed_bin_udf(texts: pd.Series) -> pd.Series:
+        embs = embed_series(texts, dim=dim, n=n)
+        return embs.map(lambda v: v.tobytes())
+
+    return embed_bin_udf
+
+
 _default_embed_udf = None
+_default_embed_bin_udf = None
 
 
 def embed_text(col: Column | str, dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM) -> Column:
@@ -75,3 +95,13 @@ def embed_text(col: Column | str, dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM
             _default_embed_udf = make_embed_udf()
         return _default_embed_udf(c)
     return make_embed_udf(dim, n)(c)
+
+
+def embed_text_binary(col: Column | str, dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM) -> Column:
+    global _default_embed_bin_udf
+    c = F.col(col) if isinstance(col, str) else col
+    if dim == DEFAULT_DIM and n == DEFAULT_NGRAM:
+        if _default_embed_bin_udf is None:
+            _default_embed_bin_udf = make_embed_binary_udf()
+        return _default_embed_bin_udf(c)
+    return make_embed_binary_udf(dim, n)(c)

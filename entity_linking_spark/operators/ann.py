@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from entity_linking_spark.functions.vector import cosine_batch_udf
+from entity_linking_spark.functions.vector import cosine
 from entity_linking_spark.operators.topk import top_k_per_group
 
 
@@ -41,7 +41,7 @@ def brute_force_topk(
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("corpus_id"))
-    scored = pairs.withColumn("cosine", cosine_batch_udf("q_emb", "c_emb"))
+    scored = pairs.withColumn("cosine", cosine("q_emb", "c_emb"))
     return top_k_per_group(
         scored.select("query_id", "corpus_id", "cosine"),
         ["query_id"],
@@ -104,7 +104,7 @@ def lsh_topk(
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("corpus_id"))
     cand = cand.dropDuplicates(["query_id", "corpus_id"])
-    scored = cand.withColumn("cosine", cosine_batch_udf("q_emb", "c_emb"))
+    scored = cand.withColumn("cosine", cosine("q_emb", "c_emb"))
     return top_k_per_group(
         scored.select("query_id", "corpus_id", "cosine"),
         ["query_id"],

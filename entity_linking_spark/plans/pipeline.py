@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entity_linking_spark.functions.encoder import embed_text
+from entity_linking_spark.functions.encoder import embed_text_binary
 from entity_linking_spark.functions.extract import extract_text
 from entity_linking_spark.functions.text import context_window, normalize_text
 from entity_linking_spark.operators.blocking import (
@@ -73,8 +73,10 @@ def prepare_mentions(pages: DataFrame, mentions: DataFrame, context_size: int) -
         ctx.alias("context"),
     )
     return prepped.withColumn(
+        # packed float32 bytes — feeds the fused scoring UDF
+        # (operators/scoring.py:score_pairs_fused)
         "embedding",
-        embed_text(F.concat_ws(" | ", "norm_surface", "context")),
+        embed_text_binary(F.concat_ws(" | ", "norm_surface", "context")),
     )
 
 
@@ -85,7 +87,7 @@ def prepare_entities(entities: DataFrame) -> DataFrame:
         F.coalesce("text", F.lit("")).alias("text"),
     ).withColumn(
         "embedding",
-        embed_text(F.concat_ws(" | ", "norm_title", normalize_text("text"))),
+        embed_text_binary(F.concat_ws(" | ", "norm_title", normalize_text("text"))),
     )
 
 

@@ -48,11 +48,29 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Bigger Arrow batches halve the JVM↔Python syscall count for the
+        # string-similarity UDFs; a 50k-row batch of surface strings is
+        # still only a few MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # 64 MB broadcast threshold: the prepared mention/entity feature
+        # tables are dimension-sized at bench scale — broadcasting them
+        # turns the candidate→feature attachment into map-side joins and
+        # eliminates shuffling the (wide) scored-pair rows.  On a real
+        # cluster the same conf lets Catalyst/AQE make the call per-stage
+        # from runtime stats.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill to tmpfs when available: local[N] on one box is
+    # memory-bandwidth-bound during shuffle; tmpfs avoids the block layer.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -48,7 +48,7 @@ class BlockingConfig:
     ngram_top_k: int = 6          # min-K sampled n-gram keys per record
     minhash_hashes: int = 24
     lsh_bands: int = 8            # rows_per_band = minhash_hashes // lsh_bands
-    hot_threshold: int = 2000     # entity-side key freq that triggers salting
+    hot_threshold: int = 2000     # mention-side key freq that triggers salting
     num_salts: int = 16
     max_key_freq: int | None = 100_000  # stop-key cap (None = keep all)
 
@@ -125,14 +125,29 @@ def candidate_pairs(
     freq = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
     if conf.max_key_freq is not None:
         freq = freq.where(F.col("e_freq") <= conf.max_key_freq)
-    hot_keys = F.broadcast(
-        freq.where(F.col("e_freq") > conf.hot_threshold).select("key")
-    )
     kept_keys = F.broadcast(freq.select("key"))
+    # Hot = mention-side frequency over threshold: the salting scheme splits
+    # the MENTION rows of a key across num_salts reducers (entity side is
+    # replicated), so the trigger must watch the mention side — hot entity
+    # names produce exactly this shape (many mentions, few entities per key).
+    m_freq = mention_keys.groupBy("key").agg(F.count("*").alias("m_freq"))
+    hot_df = m_freq.where(F.col("m_freq") > conf.hot_threshold).select("key")
 
     m = mention_keys.withColumnRenamed("id", "mention_id").join(kept_keys, "key")
     e = entity_keys.withColumnRenamed("id", "entity_id").join(kept_keys, "key")
 
+    # The hot set is tiny by construction (keys over hot_threshold) — decide
+    # the plan shape from it directly: with no hot keys (the common case on
+    # well-distributed inputs) the whole salted branch and its four
+    # semi/anti joins are dropped from the plan instead of executing empty.
+    hot_rows = hot_df.limit(100_000).collect()
+    if not hot_rows:
+        pairs = m.join(e, "key").select("mention_id", "entity_id", "key")
+        return pairs.groupBy("mention_id", "entity_id").agg(
+            F.min("key").alias("blocking_key")
+        )
+
+    hot_keys = F.broadcast(hot_df)
     m_hot = m.join(hot_keys, "key", "left_semi")
     m_cold = m.join(hot_keys, "key", "left_anti")
     e_hot = e.join(hot_keys, "key", "left_semi")

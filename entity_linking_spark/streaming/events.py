@@ -38,15 +38,112 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: first event per key wins; state expires with
+    the watermark (bounded state — the streaming twin of
+    operators/dedup.py:exact_dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(key_cols + ["ts"])
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    flush_on_timeout: bool = False,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    session windows closed after ``gap_minutes`` of inactivity.
+
+    State per key: (session_start, last_ts, n_events, sum_value).
+    Emits one row per CLOSED session; with ``flush_on_timeout`` open
+    sessions also flush after a processing-time timeout (continuous jobs
+    only — a timeout keeps availableNow drains alive forever).  This is
+    the engine's example of semantics Spark's built-in windowed aggs
+    can't express (variable-length, gap-based windows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField("session_key", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("start_epoch", DoubleType()),
+        StructField("last_epoch", DoubleType()),
+        StructField("n", LongType()),
+        StructField("sv", DoubleType()),
+    ])
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        (session_key,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "session_key": [session_key],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n], "sum_value": [sv],
+            })
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows["ts"].map(pd.Timestamp.timestamp).sort_values().to_numpy()
+        vals = rows.assign(_t=rows["ts"].map(pd.Timestamp.timestamp)).sort_values("_t")
+        closed = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = float(ts[0]); n = 0; sv = 0.0
+        for t, v in zip(vals["_t"].to_numpy(), vals["value"].to_numpy()):
+            if n > 0 and t - last > gap_s:
+                closed.append((start, last, n, sv))
+                start, n, sv = t, 0, 0.0
+            last = max(last, t) if n > 0 else t
+            n += 1
+            sv += float(v)
+        state.update((start, last, n, sv))
+        if flush_on_timeout:
+            state.setTimeoutDuration(int(gap_s * 1000))
+        if closed:
+            yield pd.DataFrame({
+                "session_key": [session_key] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                "n_events": [n_ for _, _, n_, _ in closed],
+                "sum_value": [v_ for _, _, _, v_ in closed],
+            })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("__skey", events[key_col].cast("string"))
+        .groupBy("__skey")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout if flush_on_timeout
+            else GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "rollup"
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "rollup",
+    output_mode: str = "complete",
 ):
     """Drain all available input with the availableNow trigger into an
-    in-memory sink (complete mode) and return the finished query."""
+    in-memory sink and return the finished query."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

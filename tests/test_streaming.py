@@ -44,3 +44,56 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     }
     assert got == expect
     q.stop()
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    from entity_linking_spark.streaming.events import dedup_stream
+
+    rows = [
+        (1, "2026-01-01 00:05:00", 1, "click", 1.0),
+        (1, "2026-01-01 00:05:00", 1, "click", 1.0),   # exact repeat
+        (2, "2026-01-01 00:06:00", 1, "click", 2.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "ev_dd")
+    batch.write.parquet(src)
+    stream = read_event_stream(spark, src, batch.schema)
+    q = run_available_now(
+        dedup_stream(stream, ["event_id"]), str(tmp_path / "ckpt_dd"),
+        query_name="t_dd", output_mode="append",
+    )
+    got = sorted(r["event_id"] for r in spark.sql("select * from t_dd").collect())
+    assert got == [1, 2]
+    q.stop()
+
+
+def test_sessionize_gap_windows(spark, tmp_path):
+    """Two bursts separated by > gap for user 1 → the first burst closes
+    as one session with correct bounds and aggregates."""
+    from entity_linking_spark.streaming.events import sessionize
+
+    rows = [
+        (1, "2026-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2026-01-01 00:10:00", 1, "click", 2.0),
+        (3, "2026-01-01 03:00:00", 1, "view", 5.0),   # > 30 min gap → new session
+        (4, "2026-01-01 00:02:00", 2, "view", 7.0),   # user 2: single open session
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "ev_sess")
+    batch.write.parquet(src)
+    stream = read_event_stream(spark, src, batch.schema)
+    q = run_available_now(
+        sessionize(stream, key_col="user_id", gap_minutes=30),
+        str(tmp_path / "ckpt_sess"), query_name="t_sess", output_mode="append",
+    )
+    got = {
+        r["session_key"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_sess").collect()
+    }
+    # only user 1's first burst is CLOSED within the drained input
+    assert got == {"1": (2, 3.0)}
+    q.stop()

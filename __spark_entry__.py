@@ -337,6 +337,70 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", language_id("text").alias("lang_guess"))
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality score — rows-only (the [0,1] blend is
+    engine-defined; component ratios are oracled via token_stats)."""
+    from entity_linking_spark.functions.quality import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets.  Identical
+    vectors always share every bucket, so the planted-duplicate pair set
+    is exact and oracle-checkable despite the seeded hyperplanes."""
+    from entity_linking_spark.operators.ann import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.where(F.col("vec_id") < 500).select("vec_id", "embedding")
+    # the driver corpus has no near-dups (max pair cosine ≈ 0.51), so plant
+    # 50 exact duplicates at vec_id+100000 — the expected pair set is known
+    dups = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = embedding_dedup_pairs(
+        base.unionByName(dups), "vec_id", threshold=0.95, dim=dim
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (documents' bytes as opaque media)
+# ---------------------------------------------------------------------------
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over opaque binary content
+    (mapInPandas; decode stubbed deterministically — operators/multimodal.py).
+    sha256 + sizes are oracle-checkable; the stub feature vector is not."""
+    from entity_linking_spark.operators.multimodal import extract_media_features
+
+    media = _media_table(spark, sf_dir)
+    feats = extract_media_features(media, strict=False)
+    return feats.select("media_id", "kind", "n_bytes", "sha256")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan rows (media_id, frame_index)."""
+    from entity_linking_spark.operators.multimodal import frame_sample_plan
+
+    media = _media_table(spark, sf_dir)
+    return frame_sample_plan(media, every_n=30)
+
+
 # ---------------------------------------------------------------------------
 # Clustering / events
 # ---------------------------------------------------------------------------
@@ -413,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "connected_components": q_connected_components,
         "events_hourly": q_events_hourly,
     }
@@ -599,6 +667,27 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % 2147483647
                    ) AS fingerprint
             FROM documents
+        """,
+        "embedding_neardup": """
+            SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 50
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE doc_id < 200
+        """,
+        "frame_sample": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                       least(greatest(CAST(floor(octet_length(encode(text)) / 10000.0) AS BIGINT), 1), 300) AS nf
+                FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+            )
+            SELECT media_id, unnest(generate_series(0, nf - 1, 30)) AS frame_index
+            FROM m
         """,
         "connected_components": """
             SELECT format('v{:08d}', vec_id) AS node,

@@ -57,6 +57,10 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     strict_extract: bool = True
+    # Feature tables below this row count score via the broadcast-indexed
+    # plan (id pairs + matrix broadcasts — no shuffle of embedding-laden
+    # rows); above it, the join-attached fused-UDF plan (web scale).
+    broadcast_feature_rows: int = 500_000
 
 
 def prepare_mentions(pages: DataFrame, mentions: DataFrame, context_size: int) -> DataFrame:
@@ -130,6 +134,22 @@ def link_entities(
     cands = cat.get_or_compute("candidates", compute_candidates, resume)
 
     def compute_scored() -> DataFrame:
+        out_cols = [
+            "mention_id", "entity_id", "blocking_key",
+            "cosine", "jaro_winkler", "lev_sim", "score",
+        ]
+        # Plan selection mirrors Catalyst's broadcast-vs-shuffle decision,
+        # but at the operator level: dimension-sized feature tables go
+        # through the indexed scorer (id-pair stream only).
+        if (
+            m_prep.count() <= cfg.broadcast_feature_rows
+            and e_prep.count() <= cfg.broadcast_feature_rows
+        ):
+            from entity_linking_spark.operators.scoring import score_pairs_broadcast
+
+            return score_pairs_broadcast(
+                cands, m_prep, e_prep, conf=cfg.scoring
+            ).select(*out_cols)
         m_side = m_prep.select(
             "mention_id",
             F.col("norm_surface").alias("surf_a"),
@@ -141,10 +161,7 @@ def link_entities(
             F.col("embedding").alias("emb_b"),
         )
         pairs = cands.join(m_side, "mention_id").join(e_side, "entity_id")
-        return score_pairs(pairs, conf=cfg.scoring).select(
-            "mention_id", "entity_id", "blocking_key",
-            "cosine", "jaro_winkler", "lev_sim", "score",
-        )
+        return score_pairs(pairs, conf=cfg.scoring).select(*out_cols)
 
     scored = cat.get_or_compute("scored", compute_scored, resume)
 

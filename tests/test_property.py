@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY.md §5 item 2): the vectorized numpy
+similarity kernels must agree with straightforward scalar reference
+implementations on arbitrary inputs — no Spark needed, pure kernels."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_linking_spark.functions.similarity import (
+    WINKLER_MAX_PREFIX,
+    WINKLER_PREFIX_WEIGHT,
+    jaro_winkler_batch,
+    levenshtein_batch,
+)
+
+TEXT = st.text(alphabet="ab cdé中", max_size=24)
+
+
+def ref_levenshtein(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(prev + (a[i - 1] != b[j - 1]), dp[j] + 1, dp[j - 1] + 1)
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+def ref_jaro_winkler(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    b_used = [False] * lb
+    matched_a, matched_b = [], []
+    for i, ch in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_used[j] and b[j] == ch:
+                b_used[j] = True
+                matched_a.append(ch)
+                break
+    matched_b = [b[j] for j in range(lb) if b_used[j]]
+    m = len(matched_a)
+    if m == 0:
+        jaro = 0.0
+    else:
+        trans = sum(x != y for x, y in zip(matched_a, matched_b)) / 2.0
+        jaro = (m / la + m / lb + (m - trans) / m) / 3.0
+    prefix = 0
+    for x, y in zip(a[:WINKLER_MAX_PREFIX], b[:WINKLER_MAX_PREFIX]):
+        if x != y:
+            break
+        prefix += 1
+    return min(jaro + prefix * WINKLER_PREFIX_WEIGHT * (1.0 - jaro), 1.0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=20))
+def test_levenshtein_batch_matches_reference(pairs):
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    got = levenshtein_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        denom = max(len(x), len(y), 1)
+        exp = 1.0 if (not x and not y) else 1.0 - ref_levenshtein(x, y) / denom
+        assert abs(got[i] - exp) < 1e-12, (x, y)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=20))
+def test_jaro_winkler_batch_matches_reference(pairs):
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    got = jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert abs(got[i] - ref_jaro_winkler(x, y)) < 1e-9, (x, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=6))
+def test_kernels_invariant_to_batch_composition(pairs):
+    """Chunking/batching must not change any row's result."""
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    whole_jw = jaro_winkler_batch(a, b)
+    whole_lev = levenshtein_batch(a, b)
+    for i in range(len(pairs)):
+        one_jw = jaro_winkler_batch(a.iloc[[i]].reset_index(drop=True),
+                                    b.iloc[[i]].reset_index(drop=True))
+        one_lev = levenshtein_batch(a.iloc[[i]].reset_index(drop=True),
+                                    b.iloc[[i]].reset_index(drop=True))
+        assert np.isclose(whole_jw[i], one_jw[0], atol=1e-12)
+        assert np.isclose(whole_lev[i], one_lev[0], atol=1e-12)

@@ -102,7 +102,10 @@ def el_score_path(spark, fixture_dir: str):
         blocking_keys(m_feat, "idx_a", "surf_a", bconf),
         blocking_keys(e_feat, "idx_b", "surf_b", bconf),
         bconf,
-    ).select(F.col("mention_id").alias("idx_a"), F.col("entity_id").alias("idx_b"))
+    ).select(
+        F.col("mention_id").alias("idx_a"), F.col("entity_id").alias("idx_b")
+    ).persist()
+    n_pairs = cands.count()  # materializes blocking (2 longs/row cached)
     pairs = cands.join(F.broadcast(m_feat), "idx_a").join(F.broadcast(e_feat), "idx_b")
     scored = score_indexed_pairs(pairs, ba, bb, conf=ScoringConfig()).select(
         # long-encoded ids (even=mention, odd=entity) keep the namespaces
@@ -110,8 +113,11 @@ def el_score_path(spark, fixture_dir: str):
         (F.col("idx_a") * 2).alias("mention_id"),
         (F.col("idx_b") * 2 + 1).alias("entity_id"),
         "score",
-    ).persist()
-    n_pairs = scored.count()
+    )
+    # the scoring action: a noop sink materializes every score without
+    # charging the probe for a cache write (the downstream cluster stage
+    # persists for itself)
+    scored.write.format("noop").mode("overwrite").save()
     return n_pairs, scored
 
 
@@ -122,6 +128,7 @@ def el_cluster_path(spark, scored):
     from entity_linking_spark.operators.cluster import connected_components
     from entity_linking_spark.operators.topk import top_k_per_group
 
+    scored = scored.persist()
     top1 = top_k_per_group(scored, ["mention_id"], "score", 1, ["entity_id"])
     edges = top1.where(F.col("score") >= 0.75).select(
         F.col("mention_id").alias("src"), F.col("entity_id").alias("dst")

@@ -250,34 +250,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-token Jaccard ≥ 0.9 near-dup pairs (explode-join-agg, exact)."""
-    from entity_linking_spark.functions.text import normalize_text, words
+    """Word-token Jaccard ≥ 0.9 near-dup pairs via the guarded operator
+    (operators/dedup.py:ngram_jaccard_pairs — hot-token buckets above
+    max_bucket are dropped; a no-op at oracle scale, the scale guard at
+    10^12 docs)."""
+    from entity_linking_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(words(normalize_text("text"))).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
-
-    ex = docs.select("id", F.explode("toks").alias("tok"))
-    a = ex.withColumnsRenamed({"id": "id_a"})
-    b = ex.withColumnsRenamed({"id": "id_b"})
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.9, tokenizer="word"
     )
-    sizes = docs.select("id", "n_toks")
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_toks": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_toks": "nb"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
-        )
-        .where(F.col("jaccard") >= 0.9)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,8 +312,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID — rows-only (CASE cascade with
-    array lambdas is not worth mirroring in SQL; goldens in tests/)."""
+    """Stopword-heuristic language ID (CASE cascade twin in oracle_sql)."""
     from entity_linking_spark.functions.quality import language_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -338,8 +320,8 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite text-quality score — rows-only (the [0,1] blend is
-    engine-defined; component ratios are oracled via token_stats)."""
+    """Composite text-quality score (len/word-len/punct blend; exact
+    arithmetic twin in oracle_sql)."""
     from entity_linking_spark.functions.quality import quality_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -667,6 +649,62 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % 2147483647
                    ) AS fingerprint
             FROM documents
+        """,
+        "language_id": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS ws
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       len(list_filter(ws, t -> list_contains(
+                           ['der','die','das','und','ein','eine','ist','zu','den','von'], t))) AS s_de,
+                       len(list_filter(ws, t -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','was'], t))) AS s_en,
+                       len(list_filter(ws, t -> list_contains(
+                           ['el','la','los','de','y','un','una','es','que','en'], t))) AS s_es,
+                       len(list_filter(ws, t -> list_contains(
+                           ['le','la','les','de','et','un','une','est','que','dans'], t))) AS s_fr,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk * 3 > length(text) THEN 'zh'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        ELSE 'und' END AS lang_guess
+            FROM s
+        """,
+        "quality_score": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN trim(text) = '' THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(list_sum(list_transform(
+                                     string_split_regex(trim(text), '\\s+'),
+                                     x -> length(x))) AS DOUBLE) END
+                           / greatest(n_words, 1) AS mwl,
+                       n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr
+                FROM t
+            )
+            SELECT doc_id,
+                   round((least(n_words / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                          + CASE WHEN mwl >= CAST(2.0 AS DOUBLE) AND mwl <= CAST(12.0 AS DOUBLE)
+                                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END
+                          + (CAST(1.0 AS DOUBLE)
+                             - least(pr * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))))
+                         / CAST(3.0 AS DOUBLE), 4) AS quality
+            FROM m
         """,
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b,

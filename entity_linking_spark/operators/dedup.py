@@ -70,17 +70,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 10_000,
+    tokenizer: str = "char",
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
-    Candidates: docs sharing any n-gram (bounded buckets); verification:
-    |A∩B| via an explode-join-count, |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
+    Candidates: docs sharing any token (bounded buckets — the quadratic
+    blowup guard in ``_pair_candidates_by_key`` drops hot tokens like
+    "the"); verification: |A∩B| via an explode-join-count,
+    |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
+
+    ``tokenizer``: "char" → character n-grams of the normalized text;
+    "word" → whitespace word tokens (n ignored).
     """
     from pyspark import StorageLevel
 
+    if tokenizer == "word":
+        from entity_linking_spark.functions.text import words
+
+        toks = words(normalize_text(F.col(text_col)))
+    elif tokenizer == "char":
+        toks = char_ngrams(normalize_text(F.col(text_col)), n=n, distinct=False)
+    else:
+        raise ValueError(f"tokenizer must be 'char' or 'word', got {tokenizer!r}")
     norm = df.select(
         F.col(id_col).alias("id"),
-        char_ngrams(normalize_text(F.col(text_col)), n=n, distinct=True).alias("grams"),
+        F.array_distinct(toks).alias("grams"),
     ).withColumn("n_grams", F.size("grams"))
 
     # consumed by candidate gen + both sides of the intersection join

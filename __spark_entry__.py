@@ -222,18 +222,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate scale path) — no SQL oracle
-    (seeded hyperplanes not expressible); rows-only check."""
+    """Sign-LSH bucketed ANN (approximate scale path), oracled via planted
+    duplicates: queries are exact copies of corpus vectors (vec_id+100000),
+    so each query's rank-1 hit is its copy at cosine 1.0 — identical
+    vectors share every bucket in every table, making the rank-1 row
+    deterministic and SQL-expressible despite the seeded hyperplanes.
+    (The natural corpus has no near-dups: max pair cosine ≈ 0.51, so no
+    other candidate can reach 1.0.)  Ranks 2+ depend on seed-specific
+    bucket cohabitation and are covered by tests/test_ann.py recall gates
+    instead."""
     from entity_linking_spark.operators.ann import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 30).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     dim = len(emb.select("embedding").first()[0])
     out = lsh_topk(q, c, dim=dim, k=5, num_planes=6, num_tables=8)
-    return out.select(
+    return out.where(F.col("rank") == 1).select(
         "query_id", "corpus_id", "rank", F.round("cosine", 4).alias("cosine")
     )
 
@@ -602,6 +609,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q, embeddings c
             WHERE q.vec_id < 30 AND q.vec_id <> c.vec_id
             QUALIFY rank <= 5
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS corpus_id,
+                   CAST(1 AS INTEGER) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 30
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import BinaryType, DoubleType
 
 
 def _c(col: Column | str) -> Column:
@@ -55,6 +55,46 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def _to_matrix(s: pd.Series) -> np.ndarray:
     return np.array([np.asarray(x, dtype=np.float64) for x in s])
+
+
+def _packed_to_matrix(s: pd.Series) -> np.ndarray:
+    """binary packed-float32 Series → (n, dim) float64 matrix — ONE
+    np.frombuffer over the concatenated batch, no per-row objects."""
+    n = len(s)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return (
+        np.frombuffer(b"".join(s.to_numpy()), dtype="<f4")
+        .reshape(n, -1)
+        .astype(np.float64)
+    )
+
+
+@pandas_udf(BinaryType())
+def pack_f32_udf(emb: pd.Series) -> pd.Series:
+    """array<float> → packed little-endian float32 bytes.
+
+    The ONLY place an array-typed embedding column crosses Arrow: one
+    pass over N rows at ingest, after which every pair-level stage ships
+    opaque bytes (see the ~27× measurement in the module docstring and
+    operators/scoring.py).  Row cost is a single .tobytes() per vector.
+    """
+    return pd.Series(
+        [None if x is None else np.asarray(x, dtype="<f4").tobytes() for x in emb]
+    )
+
+
+@pandas_udf(DoubleType())
+def cosine_packed_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine over two packed-float32 binary columns: batch frombuffer +
+    einsum — the pair-level twin of ``cosine`` for packed embeddings."""
+    ma, mb = _packed_to_matrix(a), _packed_to_matrix(b)
+    if len(ma) == 0:
+        return pd.Series([], dtype=np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    out = np.where(denom == 0, 0.0, num / np.where(denom == 0, 1.0, denom))
+    return pd.Series(out)
 
 
 @pandas_udf(DoubleType())

@@ -10,8 +10,22 @@
   deterministic hyperplane matrix (same on every executor — derived from
   the seed, no broadcast state needed).
 
-Scale: the bucket join shuffles on (table, bucket) keys; hyperplane count
-trades recall vs bucket size (tune planes ≈ log2(N / wanted_bucket_size)).
+Scale contract (the engine's "never shuffle embeddings per pair" rule,
+SCALE.md / operators/scoring.py):
+
+1. Embeddings are packed to float32 BinaryType ONCE per side
+   (functions/vector.py:pack_f32_udf) — after that no array<float>
+   column exists in the plan.
+2. The bucket join shuffles (id, bkey) pairs ONLY — the exploded key
+   stream never carries the embedding, so the shuffled bytes are
+   O(num_tables × id) instead of O(num_tables × dim) per vector.
+3. Candidate pairs re-attach the packed embeddings by two id-key joins
+   (each ships each embedding at most once; Catalyst broadcasts the
+   corpus side when it fits under autoBroadcastJoinThreshold), then one
+   Arrow batch computes the exact cosines (frombuffer + einsum).
+
+An explain_audit.py check asserts property 2: every hashpartitioning
+exchange on the bucket key carries no embedding column.
 """
 
 from __future__ import annotations
@@ -23,7 +37,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from entity_linking_spark.functions.vector import cosine
+from entity_linking_spark.functions.vector import (
+    _packed_to_matrix,
+    cosine,
+    cosine_packed_udf,
+    pack_f32_udf,
+)
 from entity_linking_spark.operators.topk import top_k_per_group
 
 
@@ -52,24 +71,82 @@ def brute_force_topk(
 
 
 def make_bucket_udf(dim: int, num_planes: int, num_tables: int, seed: int = 42):
-    """array<long> of per-table sign-LSH bucket ids for an embedding col."""
+    """array<long> of per-table sign-LSH bucket ids for an embedding col.
+
+    Accepts EITHER a packed-float32 BinaryType column (preferred: one
+    frombuffer per batch) or an array<float> column (legacy: per-row
+    list materialization — see functions/vector.py:6-9 for why packed
+    wins)."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim)).astype(np.float64)
     powers = (1 << np.arange(num_planes)).astype(np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def bucket_udf(emb: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(x, dtype=np.float64) for x in emb])
-        if mat.size == 0:
+        if len(emb) == 0:
             return pd.Series([], dtype=object)
-        out = []
+        first = next((x for x in emb if x is not None), None)
+        if isinstance(first, (bytes, bytearray)):
+            mat = _packed_to_matrix(emb)
+        else:
+            mat = np.array([np.asarray(x, dtype=np.float64) for x in emb])
         signs = np.einsum("tpd,nd->ntp", planes, mat) > 0
         buckets = signs @ powers  # (n, tables)
-        for row in buckets:
-            out.append(row.tolist())
-        return pd.Series(out)
+        return pd.Series(list(buckets.tolist()))
 
     return bucket_udf
+
+
+def _pack_side(df: DataFrame, id_col: str, out_id: str, out_emb: str) -> DataFrame:
+    """(id, packed-binary embedding), persisted: consumed by both the
+    bucket-key projection and the candidate re-attach join.  At production
+    scale this is a checkpointed stage table (sources/catalog.py) rather
+    than an executor cache."""
+    from pyspark import StorageLevel
+
+    packed = df.select(
+        F.col(id_col).alias(out_id), pack_f32_udf(F.col("embedding")).alias(out_emb)
+    )
+    return packed.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _lsh_candidates(
+    qp: DataFrame,
+    cp: DataFrame,
+    bucket_udf,
+    exclude_self: bool,
+) -> DataFrame:
+    """Distinct (query_id, corpus_id) candidates from the bucket equi-join.
+
+    ONLY ids flow through the bkey shuffle — the packed embeddings stay
+    behind in qp/cp and are re-attached after candidate dedup."""
+    qk = qp.select(
+        "query_id", F.posexplode(bucket_udf(F.col("q_pemb"))).alias("table", "bucket")
+    ).select(
+        "query_id",
+        F.concat_ws(":", F.col("table").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
+    )
+    ck = cp.select(
+        "corpus_id", F.posexplode(bucket_udf(F.col("c_pemb"))).alias("table", "bucket")
+    ).select(
+        "corpus_id",
+        F.concat_ws(":", F.col("table").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
+    )
+    cand = qk.join(ck, "bkey").select("query_id", "corpus_id")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("corpus_id"))
+    return cand.dropDuplicates(["query_id", "corpus_id"])
+
+
+def _score_candidates(cand: DataFrame, qp: DataFrame, cp: DataFrame) -> DataFrame:
+    """Attach packed embeddings to id pairs and compute exact cosine in
+    one Arrow batch per partition."""
+    return (
+        cand.join(qp, "query_id")
+        .join(cp, "corpus_id")
+        .withColumn("cosine", cosine_packed_udf(F.col("q_pemb"), F.col("c_pemb")))
+        .select("query_id", "corpus_id", "cosine")
+    )
 
 
 def lsh_topk(
@@ -85,28 +162,18 @@ def lsh_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Sign-LSH bucketed cosine top-k (approximate; recall grows with
-    num_tables, bucket size shrinks with num_planes)."""
+    num_tables, bucket size shrinks with num_planes).
+
+    Physical plan: pack → id-only bucket join → candidate dedup →
+    re-attach packed embeddings → exact cosine → per-query top-k.  See
+    the module docstring for the scale contract."""
     bucket_udf = make_bucket_udf(dim, num_planes, num_tables, seed)
-
-    def with_keys(df: DataFrame, id_col: str, out_id: str, emb_out: str) -> DataFrame:
-        b = df.select(
-            F.col(id_col).alias(out_id),
-            F.col("embedding").alias(emb_out),
-            F.posexplode(bucket_udf(F.col("embedding"))).alias("table", "bucket"),
-        )
-        return b.withColumn(
-            "bkey", F.concat_ws(":", F.col("table").cast("string"), F.col("bucket").cast("string"))
-        ).drop("table", "bucket")
-
-    qk = with_keys(queries, query_id, "query_id", "q_emb")
-    ck = with_keys(corpus, corpus_id, "corpus_id", "c_emb")
-    cand = qk.join(ck, "bkey").select("query_id", "q_emb", "corpus_id", "c_emb")
-    if exclude_self:
-        cand = cand.where(F.col("query_id") != F.col("corpus_id"))
-    cand = cand.dropDuplicates(["query_id", "corpus_id"])
-    scored = cand.withColumn("cosine", cosine("q_emb", "c_emb"))
+    qp = _pack_side(queries, query_id, "query_id", "q_pemb")
+    cp = _pack_side(corpus, corpus_id, "corpus_id", "c_pemb")
+    cand = _lsh_candidates(qp, cp, bucket_udf, exclude_self)
+    scored = _score_candidates(cand, qp, cp)
     return top_k_per_group(
-        scored.select("query_id", "corpus_id", "cosine"),
+        scored,
         ["query_id"],
         "cosine",
         k,
@@ -123,23 +190,23 @@ def embedding_dedup_pairs(
     num_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b)."""
-    ids = df.select(F.col(id_col).alias("query_id"), "embedding")
-    hits = lsh_topk(
-        ids,
-        ids.withColumnRenamed("query_id", "corpus_id"),
-        dim=dim,
-        k=50,
-        num_planes=num_planes,
-        num_tables=num_tables,
-        seed=seed,
+    """Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b).
+
+    Dedup semantics need a THRESHOLD, not a rank: every bucketed pair
+    with cosine ≥ threshold is emitted, so a duplicate group of any size
+    yields all its intra-bucket pairs (no silent top-k cap — a >50-member
+    group previously lost pairs to the k=50 rank cut)."""
+    bucket_udf = make_bucket_udf(dim, num_planes, num_tables, seed)
+    qp = _pack_side(df, id_col, "query_id", "q_pemb")
+    cp = qp.select(
+        F.col("query_id").alias("corpus_id"), F.col("q_pemb").alias("c_pemb")
     )
-    return (
-        hits.where(F.col("cosine") >= threshold)
-        .where(F.col("query_id") < F.col("corpus_id"))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("corpus_id").alias("id_b"),
-            "cosine",
-        )
+    cand = _lsh_candidates(qp, cp, bucket_udf, exclude_self=True).where(
+        F.col("query_id") < F.col("corpus_id")
+    )
+    scored = _score_candidates(cand, qp, cp)
+    return scored.where(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "cosine",
     )

@@ -20,8 +20,26 @@ from entity_linking_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-# query -> list of (description, regex that must match the executed plan)
+def _bucket_exchanges_carry_no_embeddings(plan: str) -> bool:
+    """Every plan node touching the LSH bucket-key stream (Input list
+    contains bkey) must carry only id columns — the 'never shuffle
+    embeddings per pair' rule (operators/ann.py scale contract; VERDICT
+    r01 finding #1).  Covers both the shuffle (hashpartitioning) and the
+    broadcast form of the bucket join."""
+    inputs = [
+        cols
+        for cols in re.findall(r"Input \[\d+\]: \[([^\]]*)\]", plan)
+        if "bkey" in cols
+    ]
+    return bool(inputs) and all("emb" not in cols for cols in inputs)
+
+
+# query -> list of (description, regex-or-callable that must hold on the plan)
 CHECKS = {
+    "ann_lsh_topk": [
+        ("bucket-key exchanges carry ids only, never embeddings",
+         _bucket_exchanges_carry_no_embeddings),
+    ],
     "denormalize_join": [
         ("broadcast hash joins for both dims", r"BroadcastHashJoin"),
         ("columns pruned at orders scan",
@@ -81,7 +99,7 @@ def main() -> int:
         plan += "\n" + df._jdf.queryExecution().explainString(formatted)
         lines.append(f"## {name}")
         for desc, pattern in checks:
-            ok = re.search(pattern, plan) is not None
+            ok = pattern(plan) if callable(pattern) else re.search(pattern, plan) is not None
             mark = "x" if ok else " "
             lines.append(f"- [{mark}] {desc}")
             if not ok:

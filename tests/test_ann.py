@@ -52,6 +52,43 @@ def test_brute_force_matches_numpy(spark, vec_df):
     assert got == want
 
 
+def test_bucket_udf_packed_matches_array(spark, vec_df):
+    """make_bucket_udf must give identical buckets for the packed-binary
+    and array<float> representations of the same vectors."""
+    from entity_linking_spark.functions.vector import pack_f32_udf
+    from entity_linking_spark.operators.ann import make_bucket_udf
+
+    udf = make_bucket_udf(DIM, num_planes=4, num_tables=3, seed=7)
+    out = vec_df.select(
+        "id",
+        udf(F.col("embedding")).alias("b_arr"),
+        udf(pack_f32_udf(F.col("embedding"))).alias("b_bin"),
+    ).collect()
+    assert len(out) == 100
+    for r in out:
+        assert r["b_arr"] == r["b_bin"]
+
+
+def test_embedding_dedup_no_topk_cap(spark):
+    """A 60-member exact-duplicate group must emit ALL C(60,2)=1770 pairs —
+    the old k=50 rank cut dropped pairs silently (VERDICT r01 #3)."""
+    from entity_linking_spark.operators.ann import embedding_dedup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(DIM)
+    base = base / np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base]) for i in range(60)]
+    # plus 40 well-separated singletons
+    for i in range(60, 100):
+        v = rng.standard_normal(DIM) * 5
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    pairs = embedding_dedup_pairs(df, "id", threshold=0.999, dim=DIM).collect()
+    dup_pairs = {(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] < 60 and r["id_b"] < 60}
+    assert len(dup_pairs) == 60 * 59 // 2
+
+
 def test_lsh_topk_recall(spark, vec_df):
     """LSH top-1 must agree with exact top-1 for most queries on strongly
     clustered vectors (same-cluster neighbors share buckets)."""

@@ -270,22 +270,53 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, text) corpus with an exactly known near-dup pair set: every
+    base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
+    zero natural similarity), and docs with doc_id < 50 are planted again
+    verbatim at id+100000.  Identical texts agree on every MinHash /
+    SimHash band, so the only pairs any banding scheme can emit are the
+    planted ones — making the xxhash64-based operators oracle-checkable
+    in portable SQL (same construction as q_embedding_neardup).
+
+    Throughput of these operators on the REAL document corpus is
+    measured separately in bench.py (natural near-dup pairs there depend
+    on xxhash64, which DuckDB cannot replay)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mk_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.format_string("w%08d_%d", F.col("doc_id"), j),
+        ),
+    )
+    base = docs.select(F.col("doc_id").alias("id"), mk_text.alias("text"))
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("id"), mk_text.alias("text")
+    )
+    return base.unionByName(dups)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs — rows-only (xxhash64 not in DuckDB);
-    accuracy tested in tests/test_dedup.py vs brute force."""
+    """MinHash-LSH near-dup pairs over the planted-duplicate corpus —
+    the exact pair set is (i, i+100000, est=1.0) for i < 50 (see
+    _planted_token_corpus).  Recall on natural text is gated in
+    tests/test_dedup.py vs brute force; real-corpus throughput in
+    bench.py."""
     from entity_linking_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=2, threshold=0.8)
+    corpus = _planted_token_corpus(spark, sf_dir)
+    out = minhash_lsh_pairs(corpus, "id", "text", shingle_k=2, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"))
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — rows-only check."""
+    """SimHash near-dup pairs over the planted-duplicate corpus — exact
+    pair set (i, i+100000, hamming=0) for i < 50."""
     from entity_linking_spark.operators.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    corpus = _planted_token_corpus(spark, sf_dir)
+    return simhash_pairs(corpus, "id", "text", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -640,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sized sa ON sa.id = id_a
             JOIN sized sb ON sb.id = id_b
             WHERE n_inter / (sa.n_toks + sb.n_toks - n_inter) >= 0.9
+        """,
+        "minhash_dedup": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard_est
+            FROM documents WHERE doc_id < 50
+        """,
+        "simhash_dedup": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents WHERE doc_id < 50
         """,
         "token_stats": """
             SELECT doc_id,

@@ -84,32 +84,70 @@ def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Co
     )
 
 
+def _simhash_fp_scalar(hs) -> int:
+    """Pure-Python reference for one row (tests only): bit votes ±1 per
+    bit of each token hash; the sign of each bit-sum forms the
+    fingerprint.  The batch UDF below must agree exactly."""
+    if hs is None or len(hs) == 0:
+        return 0
+    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    fp = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= np.uint64(1) << np.uint64(b)
+    return int(fp.astype(np.int64))
+
+
+def _simhash_reduce_batch(hashes: pd.Series) -> np.ndarray:
+    """Vectorized batch SimHash reduction — no per-row Python loops.
+
+    Rows are flattened into one (total_tokens,) array; the (total, 64)
+    bit matrix is summed per row with a single np.add.reduceat over the
+    row offsets, and the 64 sign bits collapse to the fingerprint with
+    one weighted sum per row.  Replaces the per-row 64-iteration Python
+    loop (VERDICT r01 finding #4 — the old kernel dominated
+    simhash_dedup's bench time)."""
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lengths = np.fromiter(
+        (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=n
+    )
+    total = int(lengths.sum())
+    if total == 0:
+        return out
+    nonempty = lengths > 0
+    flat = np.concatenate(
+        [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs) > 0]
+    ).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (total, 64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))[:-1][nonempty]
+    ones = np.add.reduceat(bits, offsets, axis=0)  # (n_nonempty, 64)
+    votes = 2 * ones - lengths[nonempty][:, None]
+    powers = np.uint64(1) << shifts  # 1<<63 wraps correctly in uint64
+    fps = ((votes > 0).astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = fps.view(np.int64)
+    return out
+
+
 def _simhash_reduce_udf():
     """Arrow UDF: array<long> token hashes → 64-bit SimHash.
 
-    Bit votes are ±1 per bit of each token hash; the sign of each bit-sum
-    forms the fingerprint.  numpy bit ops over the whole batch — the pure
-    Column-expression formulation (64-way per-bit expression tree) was
-    ~100× slower to evaluate, so hashing stays JVM-side (xxhash64) and only
-    this reduction crosses to Python, Arrow-batched.
+    numpy bit ops over the whole batch — the pure Column-expression
+    formulation (64-way per-bit expression tree) was ~100× slower to
+    evaluate, so hashing stays JVM-side (xxhash64) and only this
+    reduction crosses to Python, Arrow-batched and fully vectorized
+    (``_simhash_reduce_batch``).
     """
-    shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
     def reduce_udf(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(_simhash_reduce_batch(hashes))
 
     return reduce_udf
 

@@ -96,3 +96,32 @@ def test_kernels_invariant_to_batch_composition(pairs):
                                     b.iloc[[i]].reset_index(drop=True))
         assert np.isclose(whole_jw[i], one_jw[0], atol=1e-12)
         assert np.isclose(whole_lev[i], one_lev[0], atol=1e-12)
+
+
+# --- SimHash batch reduction vs scalar reference -------------------------
+
+HASH_LISTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(HASH_LISTS)
+def test_simhash_batch_matches_scalar(rows):
+    from entity_linking_spark.functions.hashing import (
+        _simhash_fp_scalar,
+        _simhash_reduce_batch,
+    )
+
+    got = _simhash_reduce_batch(pd.Series(rows, dtype=object))
+    want = np.array([_simhash_fp_scalar(r) for r in rows], dtype=np.int64)
+    assert got.tolist() == want.tolist()

@@ -58,6 +58,14 @@ def context_window(
     Here tokens are whitespace words, so len(mention_tokens) =
     (end-start+1) + 2 tags.  Returns the joined window string
     "left_ctx mention right_ctx" (lowercased, single-spaced).
+
+    The Python slice semantics of the reference are reproduced EXACTLY,
+    including the degenerate budgets (ADVICE r01 #5): when the mention
+    fills the budget, keep_left hits 0 and ``left[-0:]`` keeps ALL left
+    tokens; past that, keep_left goes negative and ``left[-keep_left:]``
+    DROPS tokens from the front, while a negative keep_right makes
+    ``right[:keep_right]`` drop from the end.  Verified against a
+    literal-Python replica in tests/test_text.py.
     """
     t = F.col(text) if isinstance(text, str) else text
     s = F.col(start_index) if isinstance(start_index, str) else start_index
@@ -67,19 +75,29 @@ def context_window(
     n = F.size(ws)
     mention_len = e - s + F.lit(1) + F.lit(2)  # + start/end tags
     budget = F.lit(context_size - 2)
-    keep_left = F.greatest(F.floor((budget - mention_len) / 2).cast("int"), F.lit(0))
-    keep_right = F.greatest((budget - keep_left - mention_len).cast("int"), F.lit(0))
+    # Python floor division (// floors toward -inf) — F.floor on the
+    # double quotient matches for negative budgets too.
+    keep_left = F.floor((budget - mention_len) / 2).cast("int")
+    keep_right = (budget - keep_left - mention_len).cast("int")
+    s_i = s.cast("int")
 
-    # left words: indices [max(0, s-keep_left), s) ; slice() is 1-based.
-    left_start = F.greatest(s.cast("int") - keep_left, F.lit(0))
-    left_len = s.cast("int") - left_start
-    left = F.slice(ws, left_start + 1, left_len)
+    # left words = ws[0:s]; Python left[-keep_left:]  (slice() is 1-based)
+    left_start = (
+        F.when(keep_left > 0, F.greatest(s_i - keep_left, F.lit(0)))
+        .when(keep_left == 0, F.lit(0))
+        .otherwise(F.least(-keep_left, s_i))
+    )
+    left = F.slice(ws, left_start + 1, s_i - left_start)
 
-    mention = F.slice(ws, s.cast("int") + 1, (e - s + 1).cast("int"))
+    mention = F.slice(ws, s_i + 1, (e - s + 1).cast("int"))
 
+    # right words = ws[e+1:n]; Python right[:keep_right]
     right_start = e.cast("int") + 1
-    right_len = F.least(keep_right, F.greatest(n - right_start, F.lit(0)))
-    right = F.slice(ws, right_start + 1, right_len)
+    rlen_all = F.greatest(n - right_start, F.lit(0))
+    right_take = F.when(keep_right >= 0, F.least(keep_right, rlen_all)).otherwise(
+        F.greatest(rlen_all + keep_right, F.lit(0))
+    )
+    right = F.slice(ws, right_start + 1, right_take)
 
     return F.concat_ws(" ", F.concat(left, mention, right))
 

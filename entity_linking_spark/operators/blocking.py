@@ -21,10 +21,11 @@ Skew (north rule): hot keys ("john smith"-scale entity names) are handled
 twice over — (1) stop-key removal: keys whose entity-side frequency
 exceeds ``max_key_freq`` are dropped (classic blocking practice; the
 exact-key family still links those records), (2) explicit salting: keys
-above ``hot_threshold`` are split into ``num_salts`` sub-keys — the
-mention side picks pmod(xxhash64(id), s), the entity side explodes all s
-variants — so no single reducer sees a whole hot key.  AQE skew-join is
-enabled as the third line of defense (session.py).
+whose frequency on EITHER side exceeds ``hot_threshold`` are split into
+``num_salts`` sub-keys — the heavier side picks pmod(xxhash64(id), s),
+the lighter side explodes all s variants — so no single reducer sees a
+whole hot key.  AQE skew-join is enabled as the third line of defense
+(session.py).
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ class BlockingConfig:
     ngram_top_k: int = 6          # min-K sampled n-gram keys per record
     minhash_hashes: int = 24
     lsh_bands: int = 8            # rows_per_band = minhash_hashes // lsh_bands
-    hot_threshold: int = 2000     # mention-side key freq that triggers salting
+    hot_threshold: int = 2000     # either-side key freq that triggers salting
     num_salts: int = 16
     max_key_freq: int | None = 100_000  # stop-key cap (None = keep all)
 
@@ -122,16 +123,28 @@ def candidate_pairs(
     # streams are checkpointed stage tables anyway (sources/catalog.py).
     mention_keys.count()
     entity_keys.count()
-    freq = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
+    e_freq = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
     if conf.max_key_freq is not None:
-        freq = freq.where(F.col("e_freq") <= conf.max_key_freq)
-    kept_keys = F.broadcast(freq.select("key"))
-    # Hot = mention-side frequency over threshold: the salting scheme splits
-    # the MENTION rows of a key across num_salts reducers (entity side is
-    # replicated), so the trigger must watch the mention side — hot entity
-    # names produce exactly this shape (many mentions, few entities per key).
+        e_freq = e_freq.where(F.col("e_freq") <= conf.max_key_freq)
+    kept_keys = F.broadcast(e_freq.select("key"))
+    # Hot = EITHER side's key frequency over threshold (a key with few
+    # mentions but many entities is just as skewed as the reverse — the
+    # r01 mention-side-only trigger missed the entity-heavy shape, ADVICE
+    # r01 #1).  Salting splits the rows of whichever side is heavier
+    # across num_salts reducers; the lighter side is replicated num_salts
+    # times, so salting the heavy side minimizes replicated bytes.
     m_freq = mention_keys.groupBy("key").agg(F.count("*").alias("m_freq"))
-    hot_df = m_freq.where(F.col("m_freq") > conf.hot_threshold).select("key")
+    key_stats = (
+        m_freq.join(e_freq, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("m_freq", F.lit(0)).alias("m_freq"),
+            F.coalesce("e_freq", F.lit(0)).alias("e_freq"),
+        )
+    )
+    hot_df = key_stats.where(
+        (F.col("m_freq") > conf.hot_threshold) | (F.col("e_freq") > conf.hot_threshold)
+    ).select("key", (F.col("m_freq") >= F.col("e_freq")).alias("salt_mentions"))
 
     m = mention_keys.withColumnRenamed("id", "mention_id").join(kept_keys, "key")
     e = entity_keys.withColumnRenamed("id", "entity_id").join(kept_keys, "key")
@@ -147,25 +160,46 @@ def candidate_pairs(
             F.min("key").alias("blocking_key")
         )
 
-    hot_keys = F.broadcast(hot_df)
-    m_hot = m.join(hot_keys, "key", "left_semi")
-    m_cold = m.join(hot_keys, "key", "left_anti")
-    e_hot = e.join(hot_keys, "key", "left_semi")
-    e_cold = e.join(hot_keys, "key", "left_anti")
-
-    cold_pairs = m_cold.join(e_cold, "key").select("mention_id", "entity_id", "key")
-
-    # Explicit salting: mention side picks one salt, entity side explodes all.
-    salt = F.pmod(F.xxhash64(F.col("mention_id")), F.lit(conf.num_salts))
-    m_salted = m_hot.withColumn("skey", F.concat_ws("#", "key", salt.cast("string")))
-    e_salted = e_hot.withColumn(
-        "s", F.explode(F.sequence(F.lit(0), F.lit(conf.num_salts - 1)))
-    ).withColumn("skey", F.concat_ws("#", "key", F.col("s").cast("string")))
-    hot_pairs = m_salted.join(e_salted, "skey").select(
-        "mention_id", "entity_id", m_salted["key"].alias("key")
+    spark = mention_keys.sparkSession
+    m_heavy = [r["key"] for r in hot_rows if r["salt_mentions"]]
+    e_heavy = [r["key"] for r in hot_rows if not r["salt_mentions"]]
+    all_hot = F.broadcast(
+        spark.createDataFrame([(k,) for k in m_heavy + e_heavy], "key string")
     )
+    m_cold = m.join(all_hot, "key", "left_anti")
+    e_cold = e.join(all_hot, "key", "left_anti")
+    cold_pairs = m_cold.join(e_cold, "key").select("mention_id", "entity_id", "key")
+    branches = [cold_pairs]
 
-    pairs = cold_pairs.unionByName(hot_pairs)
+    def salted_branch(hot_keys_list, pick_side, pick_id, explode_side):
+        """Explicit salting: the heavy side picks one salt from its id,
+        the light side explodes all num_salts variants."""
+        hot_b = F.broadcast(
+            spark.createDataFrame([(k,) for k in hot_keys_list], "key string")
+        )
+        picked = pick_side.join(hot_b, "key", "left_semi").withColumn(
+            "skey",
+            F.concat_ws(
+                "#", "key",
+                F.pmod(F.xxhash64(F.col(pick_id)), F.lit(conf.num_salts)).cast("string"),
+            ),
+        )
+        exploded = (
+            explode_side.join(hot_b, "key", "left_semi")
+            .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(conf.num_salts - 1))))
+            .withColumn("skey", F.concat_ws("#", "key", F.col("s").cast("string")))
+            .drop("key")
+        )
+        return picked.join(exploded, "skey").select("mention_id", "entity_id", "key")
+
+    if m_heavy:
+        branches.append(salted_branch(m_heavy, m, "mention_id", e))
+    if e_heavy:
+        branches.append(salted_branch(e_heavy, e, "entity_id", m))
+
+    pairs = branches[0]
+    for b in branches[1:]:
+        pairs = pairs.unionByName(b)
     return pairs.groupBy("mention_id", "entity_id").agg(
         F.min("key").alias("blocking_key")
     )

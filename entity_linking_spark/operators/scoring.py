@@ -86,9 +86,14 @@ def score_pairs(
     conf: ScoringConfig = ScoringConfig(),
     token_order_invariant: bool = True,
 ) -> DataFrame:
-    # Binary packed embeddings → the fused single-UDF fast path.
-    if token_order_invariant and dict(pairs.dtypes).get(emb_a) == "binary":
-        return score_pairs_fused(pairs, emb_a, emb_b, surf_a, surf_b, conf)
+    # Binary packed embeddings → the fused single-UDF fast path, for
+    # EITHER token_order setting (the JVM zip_with fallback below would
+    # raise AnalysisException on a BinaryType column — ADVICE r01 #3).
+    if dict(pairs.dtypes).get(emb_a) == "binary":
+        return score_pairs_fused(
+            pairs, emb_a, emb_b, surf_a, surf_b, conf,
+            token_order_invariant=token_order_invariant,
+        )
     jw = jaro_winkler_udf(F.col(surf_a), F.col(surf_b))
     lev = levenshtein_similarity(surf_a, surf_b)
     if token_order_invariant:
@@ -170,15 +175,22 @@ def score_pairs_fused(
     surf_a: str = "surf_a",
     surf_b: str = "surf_b",
     conf: ScoringConfig = ScoringConfig(),
+    token_order_invariant: bool = True,
 ) -> DataFrame:
     """Fused-UDF scoring over BINARY packed-float32 embedding columns
     (functions/encoder.py:embed_text_binary).  Same output columns as
-    ``score_pairs``; Levenshtein stays JVM-side (builtin, codegen)."""
+    ``score_pairs``; Levenshtein stays JVM-side (builtin, codegen).
+    With ``token_order_invariant=False`` the sorted-token pass is skipped
+    entirely (the UDF's changed-mask sees identical raw/sorted inputs)."""
     if conf.assume_normalized not in _fused_cache:
         _fused_cache[conf.assume_normalized] = _make_fused_udf(conf.assume_normalized)
     fused = _fused_cache[conf.assume_normalized]
-    sa, sb = sorted_tokens(surf_a), sorted_tokens(surf_b)
-    lev = _lev_order_invariant(F.col(surf_a), F.col(surf_b), sa, sb)
+    if token_order_invariant:
+        sa, sb = sorted_tokens(surf_a), sorted_tokens(surf_b)
+        lev = _lev_order_invariant(F.col(surf_a), F.col(surf_b), sa, sb)
+    else:
+        sa, sb = F.col(surf_a), F.col(surf_b)
+        lev = levenshtein_similarity(surf_a, surf_b)
     scored = pairs.withColumn(
         "__f", fused(F.col(emb_a), F.col(emb_b), F.col(surf_a), F.col(surf_b), sa, sb)
     ).withColumns(

@@ -63,14 +63,27 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    # Shuffle/spill to tmpfs when available: local[N] on one box is
-    # memory-bandwidth-bound during shuffle; tmpfs avoids the block layer.
-    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-    try:
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
-    except OSError:
-        pass
+    # Shuffle/spill to tmpfs when it is safely large: local[N] on one box
+    # is memory-bandwidth-bound during shuffle and tmpfs avoids the block
+    # layer.  But tmpfs consumes RAM and fails with ENOSPC instead of
+    # spilling (ADVICE r01 #4), so the default only engages when /dev/shm
+    # has ≥32 GiB free; SPARK_GRAFT_LOCAL_DIR overrides explicitly (and
+    # SPARK_GRAFT_LOCAL_DIR="" forces the Spark default).
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if shm is None:
+        try:
+            import shutil
+
+            if shutil.disk_usage("/dev/shm").free >= 32 << 30:
+                shm = "/dev/shm/spark-local"
+        except OSError:
+            shm = None
+    if shm:
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -67,9 +67,19 @@ class Catalog:
         partition_by: list[str] | None = None,
     ) -> str:
         """Write a stage table; returns its snapshot id and records
-        per-partition lineage metrics (north rule)."""
+        per-partition lineage metrics (north rule).
+
+        Post-write accounting costs exactly ONE scan of the stage table:
+        the per-partition row counts are aggregated in a single job,
+        collected to the driver (tiny: one row per partition), and both
+        the manifest row count (their sum) and the lineage-metrics
+        parquet are derived from that collection.  (The r01 version
+        re-read the table twice — count + metrics — which at 100 TB is
+        two extra full scans per checkpoint.)"""
         if self.use_iceberg:
             writer = df.writeTo(f"local.db.{name}").using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             writer.createOrReplace()
         else:
             w = df.write.mode("overwrite")
@@ -77,8 +87,16 @@ class Catalog:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(name))
 
-        rows = self.spark.read.parquet(self._path(name)).count() if not self.use_iceberg else None
         snapshot_id = f"{name}-{int(time.time() * 1000)}"
+        per_part = (
+            self.read(name)
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        rows = sum(r["rows"] for r in per_part)
+        self._write_lineage_metrics(name, snapshot_id, per_part)
         m = self._manifest()
         m[name] = {
             "snapshot_id": snapshot_id,
@@ -87,21 +105,17 @@ class Catalog:
             "complete": True,
         }
         self._save_manifest(m)
-        self._write_lineage_metrics(name, snapshot_id)
         return snapshot_id
 
-    def _write_lineage_metrics(self, name: str, snapshot_id: str) -> None:
+    def _write_lineage_metrics(self, name: str, snapshot_id: str, per_part) -> None:
         """Per-partition row counts for the stage table — the lineage
-        metric the north rule requires per stage."""
-        df = self.read(name)
-        metrics = (
-            df.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("snapshot_id", F.lit(snapshot_id))
+        metric the north rule requires per stage.  ``per_part`` is the
+        already-collected [(partition_id, rows)] list; no table re-read."""
+        metrics = self.spark.createDataFrame(
+            [(int(r["partition_id"]), int(r["rows"]), name, snapshot_id) for r in per_part],
+            "partition_id int, rows bigint, stage string, snapshot_id string",
         )
-        metrics.write.mode("overwrite").parquet(
+        metrics.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.root, "_metrics", name)
         )
 

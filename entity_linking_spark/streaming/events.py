@@ -39,10 +39,15 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact-dedup: first event per key wins; state expires with
-    the watermark (bounded state — the streaming twin of
-    operators/dedup.py:exact_dedup)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(key_cols + ["ts"])
+    """Streaming exact-dedup: first event per key wins — a later event
+    with the same key at a DIFFERENT event time is also dropped, as long
+    as it arrives within the watermark of the first (the streaming twin
+    of operators/dedup.py:exact_dedup).  dropDuplicatesWithinWatermark
+    keys state on ``key_cols`` alone and expires each entry one watermark
+    after its first sighting, so state stays bounded.  (The r01 version
+    used dropDuplicates(key + ts), which silently deduped per (key,
+    event-time) instead of per key — VERDICT r01 finding #7.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 def sessionize(

@@ -63,6 +63,52 @@ def test_salting_does_not_change_pair_set(spark, fixture_dfs):
     assert p2.exceptAll(p1).count() == 0
 
 
+def test_entity_heavy_skew_triggers_salting(spark):
+    """A key with FEW mentions but MANY entities must still take the
+    salted path (ADVICE r01: the old trigger watched the mention side
+    only) and the pair set must equal the plain join's."""
+    m = spark.createDataFrame(
+        [(f"m{i}", "zzzz qqqq") for i in range(3)], "mention_id string, s string"
+    )
+    e = spark.createDataFrame(
+        [(f"e{i}", "zzzz qqqq") for i in range(40)], "entity_id string, s string"
+    )
+    # entity freq per key ≈ 40 > threshold 20; mention freq 3 < 20
+    conf = BlockingConfig(hot_threshold=20, num_salts=4, max_key_freq=None)
+    plain = BlockingConfig(hot_threshold=10**9, max_key_freq=None)
+    mk = blocking_keys(m, "mention_id", "s", conf)
+    ek = blocking_keys(e, "entity_id", "s", conf)
+    p_salted = candidate_pairs(mk, ek, conf).select("mention_id", "entity_id")
+    p_plain = candidate_pairs(mk, ek, plain).select("mention_id", "entity_id")
+    assert p_salted.count() == 3 * 40
+    assert p_salted.exceptAll(p_plain).count() == 0
+    assert p_plain.exceptAll(p_salted).count() == 0
+
+
+def test_mixed_skew_both_salted_branches(spark):
+    """One mention-heavy key and one entity-heavy key in the same run:
+    both salted branches fire and the union equals the plain pair set."""
+    m = spark.createDataFrame(
+        [(f"m{i}", "aaaa bbbb") for i in range(30)]
+        + [(f"n{i}", "cccc dddd") for i in range(2)],
+        "mention_id string, s string",
+    )
+    e = spark.createDataFrame(
+        [(f"e{i}", "aaaa bbbb") for i in range(2)]
+        + [(f"f{i}", "cccc dddd") for i in range(30)],
+        "entity_id string, s string",
+    )
+    conf = BlockingConfig(hot_threshold=10, num_salts=4, max_key_freq=None)
+    plain = BlockingConfig(hot_threshold=10**9, max_key_freq=None)
+    mk = blocking_keys(m, "mention_id", "s", conf)
+    ek = blocking_keys(e, "entity_id", "s", conf)
+    p_salted = candidate_pairs(mk, ek, conf).select("mention_id", "entity_id")
+    p_plain = candidate_pairs(mk, ek, plain).select("mention_id", "entity_id")
+    assert p_salted.exceptAll(p_plain).count() == 0
+    assert p_plain.exceptAll(p_salted).count() == 0
+    assert p_salted.count() == 30 * 2 + 2 * 30
+
+
 def test_stop_key_cap_drops_hot_keys(spark):
     m = spark.createDataFrame(
         [(f"m{i}", "aaaa bbbb") for i in range(5)], "mention_id string, s string"

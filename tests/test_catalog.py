@@ -1,0 +1,94 @@
+"""Catalog stage-table accounting: single-scan metrics, manifest rows,
+and the Iceberg writer branch (mocked — no jar in the sandbox)."""
+
+from pyspark.sql import functions as F
+
+from entity_linking_spark.sources.catalog import Catalog
+
+
+def test_write_reads_stage_table_exactly_once(spark, tmp_path):
+    """write() must derive the manifest row count AND the lineage metrics
+    from ONE scan of the written table (VERDICT r01 finding #6: the old
+    path re-read the stage table twice per checkpoint)."""
+    cat = Catalog(spark, str(tmp_path))
+    reads = []
+    orig_read = cat.read
+
+    def counting_read(name):
+        reads.append(name)
+        return orig_read(name)
+
+    cat.read = counting_read
+    df = spark.range(100).withColumn("k", (F.col("id") % 3).cast("int"))
+    cat.write("stage1", df)
+
+    assert reads == ["stage1"]
+    assert cat._manifest()["stage1"]["rows"] == 100
+    metrics = cat.read_metrics("stage1")
+    assert metrics.agg(F.sum("rows")).first()[0] == 100
+    cols = set(metrics.columns)
+    assert {"partition_id", "rows", "stage", "snapshot_id"} <= cols
+
+
+def test_write_partitioned_parquet_and_resume(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(50).withColumn("k", (F.col("id") % 2).cast("int"))
+    snap = cat.write("staged", df, partition_by=["k"])
+    assert cat.is_complete("staged")
+    assert cat.snapshot_id("staged") == snap
+    got = cat.read("staged")
+    assert got.count() == 50
+    # resume: get_or_compute must NOT recompute a complete stage
+    called = []
+
+    def compute():
+        called.append(1)
+        return df
+
+    out = cat.get_or_compute("staged", compute, resume=True)
+    assert out.count() == 50 and not called
+
+
+class _FakeWriter:
+    def __init__(self, rec):
+        self.rec = rec
+
+    def using(self, fmt):
+        self.rec["using"] = fmt
+        return self
+
+    def partitionedBy(self, *cols):
+        self.rec["partitioned_by"] = len(cols)
+        return self
+
+    def createOrReplace(self):
+        self.rec["created"] = True
+
+
+class _FakeIcebergDF:
+    def __init__(self, rec, schema):
+        self.rec = rec
+        self.schema = schema
+
+    def writeTo(self, table):
+        self.rec["table"] = table
+        return _FakeWriter(self.rec)
+
+
+def test_iceberg_branch_forwards_partition_by_and_counts_rows(spark, tmp_path):
+    """The Iceberg writer must receive partitionedBy() and the manifest
+    must record real row counts (r01 left rows=None and dropped
+    partition_by on this branch)."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.use_iceberg = True
+    backing = spark.range(10).withColumn("k", (F.col("id") % 2).cast("int"))
+    cat.read = lambda name: backing  # stand-in for spark.read.table
+    rec = {}
+    fake = _FakeIcebergDF(rec, backing.schema)
+    cat.write("ice_stage", fake, partition_by=["k"])
+
+    assert rec["table"] == "local.db.ice_stage"
+    assert rec["using"] == "iceberg"
+    assert rec["partitioned_by"] == 1
+    assert rec["created"] is True
+    assert cat._manifest()["ice_stage"]["rows"] == 10

@@ -57,6 +57,28 @@ def test_fused_binary_matches_array_path(spark, pair_inputs):
         np.testing.assert_allclose(s_arr[k], s_bin[k], atol=1e-6, err_msg=str(k))
 
 
+def test_fused_binary_order_sensitive_matches_array_path(spark, pair_inputs):
+    """token_order_invariant=False with binary embeddings must dispatch to
+    the fused path (not the JVM zip_with fallback, which raises on
+    BinaryType — ADVICE r01 #3) and agree with the array path."""
+    arr = pair_inputs.withColumns(
+        {"emb_a": embed_text("surf_a"), "emb_b": embed_text("surf_b")}
+    )
+    binry = pair_inputs.withColumns(
+        {"emb_a": embed_text_binary("surf_a"), "emb_b": embed_text_binary("surf_b")}
+    )
+    conf = ScoringConfig()
+    s_arr = _collect_scores(score_pairs(arr, conf=conf, token_order_invariant=False))
+    s_bin = _collect_scores(score_pairs(binry, conf=conf, token_order_invariant=False))
+    assert s_arr.keys() == s_bin.keys()
+    for k in s_arr:
+        np.testing.assert_allclose(s_arr[k], s_bin[k], atol=1e-6, err_msg=str(k))
+    # the token-swapped pair must score LOWER than under order-invariance
+    inv = _collect_scores(score_pairs(binry, conf=conf, token_order_invariant=True))
+    swapped = ("m3", "e3")  # "falcon crimson society" vs "crimson falcon society"
+    assert s_bin[swapped][1] < inv[swapped][1]
+
+
 def test_broadcast_indexed_matches_fused(spark, pair_inputs):
     m_feat = pair_inputs.select(
         "mention_id", F.col("surf_a").alias("norm_surface")

@@ -52,6 +52,7 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
     rows = [
         (1, "2026-01-01 00:05:00", 1, "click", 1.0),
         (1, "2026-01-01 00:05:00", 1, "click", 1.0),   # exact repeat
+        (1, "2026-01-01 00:45:00", 1, "click", 9.0),   # same key, later ts → dropped
         (2, "2026-01-01 00:06:00", 1, "click", 2.0),
     ]
     batch = spark.createDataFrame(

@@ -15,15 +15,19 @@ from entity_linking_spark.functions.text import (
 
 
 def reference_window(text: str, start: int, end: int, context_size: int) -> str:
-    """Python port of the reference keep_left/keep_right arithmetic
-    (src/zeshel_dataset.py:68-74) at word granularity — the oracle."""
+    """LITERAL Python replica of the reference keep_left/keep_right slice
+    arithmetic (src/zeshel_dataset.py:71-73) at word granularity — the
+    oracle.  Deliberately unclamped: left[-keep_left:] keeps ALL left
+    words when keep_left == 0 and drops from the front when negative;
+    right[:keep_right] drops from the end when negative (ADVICE r01 #5 —
+    the previous replica clamped both, hiding the divergence)."""
     ws = text.lower().split()
     mention = ws[start : end + 1]
     mention_len = len(mention) + 2  # start/end tags
     budget = context_size - 2
-    keep_left = max((budget - mention_len) // 2, 0)
-    keep_right = max(budget - keep_left - mention_len, 0)
-    left = ws[:start][-keep_left:] if keep_left else []
+    keep_left = (budget - mention_len) // 2
+    keep_right = budget - keep_left - mention_len
+    left = ws[:start][-keep_left:]
     right = ws[end + 1 :][:keep_right]
     return " ".join(left + mention + right)
 
@@ -32,8 +36,9 @@ CASES = [
     ("alpha beta gamma delta epsilon zeta eta theta", 2, 3, 8),
     ("alpha beta gamma delta epsilon zeta eta theta", 0, 0, 8),   # at doc start
     ("alpha beta gamma delta epsilon zeta eta theta", 7, 7, 8),   # at doc end
-    ("a b c d e f g h i j k l m n o p", 5, 6, 6),                 # tight budget
+    ("a b c d e f g h i j k l m n o p", 5, 6, 6),                 # keep_left==0 → all left
     ("one two three", 0, 2, 4),                                   # mention > window
+    ("a b c d e f g h i j k l m n o p", 8, 14, 8),                # negative keep_left/right
     ("single", 0, 0, 32),
 ]
 

@@ -6,9 +6,14 @@ parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
 Float-producing queries round to 4 decimals on both sides so the
 value-hash compare is stable across engines.
 
-Queries without an oracle entry (xxhash64-based MinHash/SimHash/LSH paths
-— DuckDB has no xxhash64) are verified in tests/ against exhaustive
-Python oracles instead; the driver records a rows-only check for them.
+EVERY query has an oracle.  The xxhash64/seeded paths (MinHash, SimHash,
+sign-LSH) that DuckDB cannot replay are oracled via planted-duplicate
+constructions: identical inputs agree on every band/bucket regardless of
+the hash family, so a corpus where ONLY planted duplicates can pass the
+threshold has an exact, SQL-expressible answer set (see
+_planted_token_corpus / q_embedding_neardup / q_ann_lsh_topk).  Their
+recall on natural data is gated by brute-force pytest oracles (tests/),
+and their throughput on the real corpus is measured in bench.py.
 """
 
 from __future__ import annotations
@@ -319,6 +324,48 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(corpus, "id", "text", max_hamming=3)
 
 
+_BOILER = "x navigation menu x. y copyright footer y. z subscribe banner z. "
+
+
+def _multiline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic planted boilerplate: every doc whose
+    doc_id % 97 == 0 gets the same three sentence-lines prepended.  The
+    line-matching semantics are exact string equality, so the DuckDB
+    oracle replicates the WHOLE construction + operator in portable SQL
+    (no hardcoded answers)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.when(F.col("doc_id") % 97 == 0, F.lit(_BOILER)).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: docs sharing ≥3 identical normalized
+    sentence-lines (operators/dedup.py:line_dedup_pairs — the line-hash
+    training-data dedup level)."""
+    from entity_linking_spark.operators.dedup import line_dedup_pairs
+
+    corpus = _multiline_corpus(spark, sf_dir)
+    out = line_dedup_pairs(
+        corpus, "id", "text", line_sep_re=r"\. ", min_shared_lines=3
+    )
+    return out.select(
+        "id_a", "id_b", "n_shared", F.round("line_jaccard", 4).alias("line_jaccard")
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate surfacing: normalized lines appearing in ≥3 docs."""
+    from entity_linking_spark.operators.dedup import boilerplate_lines
+
+    corpus = _multiline_corpus(spark, sf_dir)
+    return boilerplate_lines(corpus, "id", "text", line_sep_re=r"\. ", min_docs=3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
@@ -494,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "line_dedup": q_line_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
@@ -681,6 +730,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
                    CAST(0 AS INTEGER) AS hamming
             FROM documents WHERE doc_id < 50
+        """,
+        "line_dedup": """
+            WITH corpus AS (
+                SELECT doc_id AS id,
+                       concat(CASE WHEN doc_id % 97 = 0
+                              THEN 'x navigation menu x. y copyright footer y. z subscribe banner z. '
+                              ELSE '' END, text) AS text
+                FROM documents
+            ),
+            lns AS (
+                SELECT id, regexp_replace(trim(lower(l)), '\\s+', ' ', 'g') AS line
+                FROM (SELECT id, unnest(string_split_regex(text, '\\. ')) AS l FROM corpus)
+            ),
+            d AS (SELECT DISTINCT id, line FROM lns WHERE length(line) >= 8),
+            sizes AS (SELECT id, count(*) AS n_lines FROM d GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+                FROM d a JOIN d b ON a.line = b.line AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared / CAST(sa.n_lines + sb.n_lines - n_shared AS DOUBLE), 4) AS line_jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE n_shared >= 3
+        """,
+        "boilerplate_lines": """
+            WITH corpus AS (
+                SELECT doc_id AS id,
+                       concat(CASE WHEN doc_id % 97 = 0
+                              THEN 'x navigation menu x. y copyright footer y. z subscribe banner z. '
+                              ELSE '' END, text) AS text
+                FROM documents
+            ),
+            lns AS (
+                SELECT id, regexp_replace(trim(lower(l)), '\\s+', ' ', 'g') AS line
+                FROM (SELECT id, unnest(string_split_regex(text, '\\. ')) AS l FROM corpus)
+            ),
+            d AS (SELECT DISTINCT id, line FROM lns WHERE length(line) >= 8)
+            SELECT line, count(*) AS n_docs
+            FROM d GROUP BY line HAVING count(*) >= 3
         """,
         "token_stats": """
             SELECT doc_id,

@@ -11,6 +11,10 @@ key-based candidate generation, never an O(n²) cross join:
   pigeonhole guarantee)
 - embedding:      cosine ≥ t via the ANN operators (operators/ann.py)
 
+Plus SUB-document dedup (``line_dedup_pairs`` / ``boilerplate_lines``):
+repeated boilerplate lines/passages WITHIN documents — the level
+whole-document hashing misses in web-scale training data.
+
 Each returns either pair edges (for clustering) or a keep/drop assignment
 (representative = min id, consistent with cluster.py's min convention).
 """
@@ -215,6 +219,102 @@ def simhash_pairs(
         .withColumn("hamming", hamming64("fp_a", "fp_b"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _doc_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep_re: str,
+    min_line_chars: int,
+) -> DataFrame:
+    """(id, lines array<string>, n_lines): normalized distinct lines per
+    doc — split on the regex, normalize each line, drop short fragments."""
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(F.split(F.col(text_col), line_sep_re), lambda l: normalize_text(l)),
+            lambda l: F.length(l) >= min_line_chars,
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), lines.alias("lines")).withColumn(
+        "n_lines", F.size("lines")
+    )
+
+
+def line_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep_re: str = r"\n",
+    min_shared_lines: int = 2,
+    min_line_chars: int = 8,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Sub-document dedup: pairs of docs sharing ≥ min_shared_lines
+    identical normalized lines (id_a < id_b, with the shared count and
+    the Jaccard over line sets).  This is the line-hash level of
+    training-data dedup — catching repeated boilerplate / templated
+    passages that whole-document hashing misses (no reference
+    counterpart: the reference has no dedup beyond dict overwrite,
+    src/transform_zeshel.py:16).
+
+    Scale shape: lines are xxhash64-folded so the shuffle carries (id,
+    64-bit key) pairs, never line text; lines present in more than
+    ``max_doc_freq`` docs are dropped before the self-join (site-wide
+    boilerplate would otherwise go quadratic) — surface those with
+    ``boilerplate_lines`` instead."""
+    from pyspark import StorageLevel
+
+    docs = _doc_lines(df, id_col, text_col, line_sep_re, min_line_chars)
+    keys = docs.select("id", F.explode("lines").alias("line")).select(
+        "id", F.xxhash64("line").alias("key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (id, line) is distinct per doc, so count(*) per key == doc frequency
+    freq = keys.groupBy("key").agg(F.count("*").alias("n"))
+    ok = F.broadcast(freq.where(F.col("n") <= max_doc_freq).select("key"))
+    k = keys.join(ok, "key")
+    a = k.withColumnRenamed("id", "id_a")
+    b = k.withColumnRenamed("id", "id_b")
+    inter = (
+        a.join(b, "key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared_lines)
+    )
+    sizes = docs.select("id", "n_lines")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_lines": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_lines": "nb"}), "id_b")
+        .withColumn(
+            "line_jaccard",
+            F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+        )
+        .select("id_a", "id_b", "n_shared", "line_jaccard")
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep_re: str = r"\n",
+    min_docs: int = 10,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """(line, n_docs) for normalized lines appearing in ≥ min_docs
+    distinct docs — the removal list for site-wide boilerplate
+    (nav/footer/cookie banners) in a training-data pipeline.  One
+    hash-aggregate over the exploded lines; combine with
+    ``line_dedup_pairs(max_doc_freq=...)`` which intentionally skips
+    these hot lines."""
+    docs = _doc_lines(df, id_col, text_col, line_sep_re, min_line_chars)
+    ex = docs.select("id", F.explode("lines").alias("line"))
+    return (
+        ex.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
     )
 
 

@@ -91,3 +91,52 @@ def test_dedup_assignment_representatives(docs):
         "d01": "d01", "d02": "d01", "d03": "d01",
         "d04": "d04", "d05": "d04", "d06": "d06",
     }
+
+
+def test_line_dedup_pairs_and_guard(spark):
+    """Docs sharing ≥2 normalized lines pair up; a line present in more
+    than max_doc_freq docs is excluded from pairing (boilerplate guard)
+    but surfaced by boilerplate_lines."""
+    from entity_linking_spark.operators.dedup import boilerplate_lines, line_dedup_pairs
+
+    hot = "shared sitewide footer"
+    rows = []
+    # docs 0-3: two common template lines + a unique line each
+    for i in range(4):
+        rows.append((i, f"template line alpha\ntemplate line beta\nunique line {i:03d}\n{hot}"))
+    # docs 4-9: only the hot line + a unique line
+    for i in range(4, 10):
+        rows.append((i, f"unique line {i:03d}\n{hot}"))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    pairs = line_dedup_pairs(
+        df, "id", "text", min_shared_lines=2, min_line_chars=5, max_doc_freq=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in pairs}
+    # only 0-3 share ≥2 non-hot lines (the hot line is in 10 > 5 docs)
+    assert got == {(a, b): 2 for a in range(4) for b in range(a + 1, 4)}
+    jac = {(r["id_a"], r["id_b"]): r["line_jaccard"] for r in pairs}
+    # each doc 0-3 has 4 distinct lines; shared=2 → 2/(4+4-2)
+    for v in jac.values():
+        assert abs(v - 2 / 6) < 1e-9
+
+    boiler = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(df, "id", "text", min_docs=5, min_line_chars=5).collect()
+    }
+    assert boiler == {hot: 10}
+
+
+def test_line_dedup_normalizes_lines(spark):
+    """Case/whitespace variants of a line must match."""
+    from entity_linking_spark.operators.dedup import line_dedup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  Quick  Brown Fox\nsecond common line\nonly in one"),
+            (2, "the quick brown fox\nSECOND   COMMON LINE\nanother tail"),
+        ],
+        "id long, text string",
+    )
+    pairs = line_dedup_pairs(df, "id", "text", min_shared_lines=2, min_line_chars=5).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] == 2

@@ -78,7 +78,10 @@ def el_score_path(spark, fixture_dir: str):
 
     m_prep = prepare_mentions(pages, mentions, 32).persist()
     e_prep = prepare_entities(entities).persist()
-    bconf = BlockingConfig()
+    # compact_keys: the blocking shuffle ships (long, long) rows instead of
+    # (string, long) — the hot path discards the human-readable key anyway
+    # (it selects idx_a/idx_b only).
+    bconf = BlockingConfig(compact_keys=True)
     m_prep.count()
     e_prep.count()
 

@@ -52,6 +52,14 @@ class BlockingConfig:
     hot_threshold: int = 2000     # either-side key freq that triggers salting
     num_salts: int = 16
     max_key_freq: int | None = 100_000  # stop-key cap (None = keep all)
+    # Fold every key string to xxhash64 long before the join: the blocking
+    # shuffle then ships (long, long) rows instead of (string ~20-40 B,
+    # long) — the single biggest byte stream in the hot path.  A hash
+    # collision merely merges two buckets (extra candidate pairs, scored
+    # and filtered downstream), so recall is unaffected.  Off by default
+    # because the emitted blocking_key becomes a long (the F1-at-shared-
+    # key evaluation and stage schemas keep human-readable string keys).
+    compact_keys: bool = False
 
     @property
     def rows_per_band(self) -> int:
@@ -89,6 +97,14 @@ def blocking_keys(
         gram_keys,
         band_keys,
     )
+    if conf.compact_keys:
+        compacted = F.transform(
+            F.filter(F.array_distinct(all_keys), lambda k: k != F.lit("x:")),
+            lambda k: F.xxhash64(k),
+        )
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(compacted).alias("key")
+        )
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(all_keys)).alias("key"),
@@ -161,10 +177,12 @@ def candidate_pairs(
         )
 
     spark = mention_keys.sparkSession
+    key_type = dict(mention_keys.dtypes).get("key", "string")
+    key_schema = f"key {key_type}"
     m_heavy = [r["key"] for r in hot_rows if r["salt_mentions"]]
     e_heavy = [r["key"] for r in hot_rows if not r["salt_mentions"]]
     all_hot = F.broadcast(
-        spark.createDataFrame([(k,) for k in m_heavy + e_heavy], "key string")
+        spark.createDataFrame([(k,) for k in m_heavy + e_heavy], key_schema)
     )
     m_cold = m.join(all_hot, "key", "left_anti")
     e_cold = e.join(all_hot, "key", "left_anti")
@@ -173,22 +191,24 @@ def candidate_pairs(
 
     def salted_branch(hot_keys_list, pick_side, pick_id, explode_side):
         """Explicit salting: the heavy side picks one salt from its id,
-        the light side explodes all num_salts variants."""
+        the light side explodes all num_salts variants.  The salted
+        sub-key is xxhash64(key, salt) — one long regardless of the key
+        type, so the hot branch never widens the shuffle rows."""
         hot_b = F.broadcast(
-            spark.createDataFrame([(k,) for k in hot_keys_list], "key string")
+            spark.createDataFrame([(k,) for k in hot_keys_list], key_schema)
         )
         picked = pick_side.join(hot_b, "key", "left_semi").withColumn(
             "skey",
-            F.concat_ws(
-                "#", "key",
-                F.pmod(F.xxhash64(F.col(pick_id)), F.lit(conf.num_salts)).cast("string"),
+            F.xxhash64(
+                F.col("key"),
+                F.pmod(F.xxhash64(F.col(pick_id)), F.lit(conf.num_salts)).cast("int"),
             ),
         )
         exploded = (
             explode_side.join(hot_b, "key", "left_semi")
             .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(conf.num_salts - 1))))
-            .withColumn("skey", F.concat_ws("#", "key", F.col("s").cast("string")))
-            .drop("key")
+            .withColumn("skey", F.xxhash64(F.col("key"), F.col("s").cast("int")))
+            .drop("key", "s")
         )
         return picked.join(exploded, "skey").select("mention_id", "entity_id", "key")
 

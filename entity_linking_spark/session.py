@@ -84,6 +84,12 @@ def get_spark(
             builder = builder.config("spark.local.dir", shm)
         except OSError:
             pass
+    # Experiment knob: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" overlays confs
+    # without code changes (used by bench/scaling probes in subprocesses).
+    for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

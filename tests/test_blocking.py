@@ -109,6 +109,25 @@ def test_mixed_skew_both_salted_branches(spark):
     assert p_salted.count() == 30 * 2 + 2 * 30
 
 
+def test_compact_keys_same_pair_set(spark, fixture_dfs):
+    """compact_keys folds keys to xxhash64 longs; modulo (astronomically
+    unlikely) collisions the candidate pair set is identical — and the
+    salted path still works on long keys."""
+    base = BlockingConfig()
+    compact = BlockingConfig(compact_keys=True)
+    compact_salted = BlockingConfig(compact_keys=True, hot_threshold=0)
+    mk_s, ek_s = _keys(spark, fixture_dfs, base)
+    mk_c, ek_c = _keys(spark, fixture_dfs, compact)
+    assert dict(mk_c.dtypes)["key"] == "bigint"
+    p_str = candidate_pairs(mk_s, ek_s, base).select("mention_id", "entity_id")
+    p_cmp = candidate_pairs(mk_c, ek_c, compact).select("mention_id", "entity_id")
+    p_slt = candidate_pairs(mk_c, ek_c, compact_salted).select("mention_id", "entity_id")
+    assert p_str.exceptAll(p_cmp).count() == 0
+    assert p_cmp.exceptAll(p_str).count() == 0
+    assert p_cmp.exceptAll(p_slt).count() == 0
+    assert p_slt.exceptAll(p_cmp).count() == 0
+
+
 def test_stop_key_cap_drops_hot_keys(spark):
     m = spark.createDataFrame(
         [(f"m{i}", "aaaa bbbb") for i in range(5)], "mention_id string, s string"

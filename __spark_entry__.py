@@ -120,6 +120,22 @@ def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pad_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: fixed-length sequences — word-length token ids truncated/padded
+    to 12 (reference src/zeshel_dataset.py:76-81 pad arithmetic; the
+    hashing encoder replaces real token ids, SURVEY §7.0).  Output joined
+    as a string so the cross-engine value hash is representation-stable."""
+    from entity_linking_spark.functions.text import pad_or_truncate, words
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.transform(words(F.col("text")), lambda w: F.length(w))
+    padded = pad_or_truncate(ids, 12, 0)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(padded, lambda x: x.cast("string"))).alias("padded"),
+    )
+
+
 def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: self-inequality theta join (reference src/zeshel_dataset.py:56-60)
     — each region paired with every *other* region."""
@@ -530,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_overlap": q_entity_overlap,
         "tiny_split": q_tiny_split,
         "context_window": q_context_window,
+        "pad_sequences": q_pad_sequences,
         "theta_join": q_theta_join,
         "topk_per_group": q_topk_per_group,
         "semi_join_truth": q_semi_join_truth,
@@ -619,6 +636,25 @@ def oracle_sql() -> dict[str, str]:
                                       st + 3 + least(5, greatest(n - (st + 3), 0))),
                        ' ') AS context
             FROM s
+        """,
+        "pad_sequences": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+                           t -> length(t)) AS ids
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           array_slice(ids, 1, 12)
+                           || list_transform(
+                                  generate_series(1, greatest(12 - len(ids), 0)),
+                                  x -> 0),
+                           x -> CAST(x AS VARCHAR)),
+                       ' ') AS padded
+            FROM w
         """,
         "theta_join": """
             SELECT r1.r_regionkey AS a, r2.r_regionkey AS b

@@ -407,12 +407,18 @@ def run_scaling() -> dict:
             "phases at 32 threads) and under-reports what executor scale-out\n"
             "delivers.  The kernel probe isolates the per-executor compute —\n"
             "the part that multiplies cleanly across machines — and meets\n"
-            "the ≥0.8 bar.  Between rounds the job-level number improved\n"
-            "0.23 → ~0.5 by removing every non-scaling byte from the hot\n"
-            "path (binary-packed embeddings, broadcast-indexed scoring,\n"
-            "integer surrogate ids, fused Arrow UDF, chunked Jaro-Winkler);\n"
-            "the residual gap is the shared-box shuffle/DRAM ceiling, which\n"
-            "a real 4N-executor cluster does not share.\n\n"
+            "the ≥0.8 bar.  Round-over-round the job-level number has been\n"
+            "pushed upward by removing non-scaling work from the hot path:\n"
+            "r1 ~0.23 → 0.31 (binary-packed embeddings, broadcast-indexed\n"
+            "scoring, integer surrogate ids, fused Arrow UDF); r2 → the\n"
+            "number above (≈0.43-0.49 across runs of this shared box)\n"
+            "and ~+30% absolute 32-core throughput (xxhash64-compacted\n"
+            "blocking keys = two-long shuffle rows; shuffle compression OFF\n"
+            "on tmpfs local dirs — lz4 was pure CPU with no disk/network to\n"
+            "save; 8 MiB AQE advisory partitions keep post-coalesce\n"
+            "parallelism ≥ core count).  The residual gap is the shared-box\n"
+            "shuffle/DRAM ceiling, which a real 4N-executor cluster does\n"
+            "not share.\n\n"
             "The clustering stage is reported separately: large-star/small-star\n"
             "CC is fixpoint-iterative — at this fixture scale its wall is\n"
             "dominated by a fixed number of rounds (shuffle barriers), not by\n"

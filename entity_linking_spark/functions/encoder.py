@@ -33,7 +33,25 @@ DEFAULT_DIM = 128
 DEFAULT_NGRAM = 3
 
 
+def _crc32_table() -> np.ndarray:
+    """Standard CRC-32 (IEEE 802.3, poly 0xEDB88320) lookup table — the
+    same function zlib.crc32 computes, reproduced so the n-gram hashing
+    can run table-driven over a whole batch in numpy."""
+    t = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (np.uint32(0xEDB88320) if c & np.uint32(1) else np.uint32(0))
+        t[i] = c
+    return t
+
+
+_CRC_TABLE = _crc32_table()
+
+
 def _embed_one(text: str, dim: int, n: int) -> np.ndarray:
+    """Scalar reference / non-ASCII fallback (UTF-8 n-gram byte strings
+    vary in length, defeating the fixed-width vectorization)."""
     v = np.zeros(dim, dtype=np.float64)
     if text:
         padded = f" {text} "  # boundary markers improve word-edge sensitivity
@@ -48,10 +66,60 @@ def _embed_one(text: str, dim: int, n: int) -> np.ndarray:
     return v
 
 
+def _embed_ascii_batch(texts: list[str], dim: int, n: int) -> np.ndarray:
+    """Vectorized signed-hash embedding for ASCII texts — byte-identical
+    to ``_embed_one`` (same CRC-32 per gram; ±1 accumulation in float64
+    is exact, so summation order is irrelevant).  One table-driven CRC
+    pass over ALL grams of the batch: n byte-columns, n lookups.  This
+    removes the last per-row Python loop from the embed stage (VERDICT
+    r01 finding #9)."""
+    m = len(texts)
+    out = np.zeros((m, dim), dtype=np.float64)
+    if m == 0:
+        return out
+    arrs = [np.frombuffer(f" {t} ".encode(), dtype=np.uint8) for t in texts]
+    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+    flat = np.concatenate(arrs)
+    counts = np.maximum(lengths - n + 1, 1)
+    total = int(counts.sum())
+    text_starts = np.cumsum(lengths) - lengths
+    cum_counts = np.cumsum(counts) - counts
+    # gram start offset within flat = text_start + position-within-text
+    starts = np.repeat(text_starts, counts) + (
+        np.arange(total) - np.repeat(cum_counts, counts)
+    )
+    crc = np.full(total, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(n):
+        byte = flat[starts + j]
+        crc = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ byte) & np.uint32(0xFF)]
+    h = crc ^ np.uint32(0xFFFFFFFF)
+    sign = np.where((h >> np.uint32(31)) & np.uint32(1), 1.0, -1.0)
+    bucket = (h % np.uint32(dim)).astype(np.int64)
+    rowid = np.repeat(np.arange(m, dtype=np.int64), counts)
+    out = np.bincount(rowid * dim + bucket, weights=sign, minlength=m * dim).reshape(
+        m, dim
+    )
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
 def embed_series(texts: pd.Series, dim: int = DEFAULT_DIM, n: int = DEFAULT_NGRAM) -> pd.Series:
     texts = texts.fillna("").astype(str)
     uniq, inverse = np.unique(texts.to_numpy(), return_inverse=True)
-    mat = np.stack([_embed_one(t, dim, n) for t in uniq]).astype(np.float32)
+    mat = np.zeros((len(uniq), dim), dtype=np.float64)
+    # fast path needs full-width grams: padded length (len+2) ≥ n
+    is_fast = np.fromiter(
+        (bool(t) and t.isascii() and len(t) + 2 >= n for t in uniq),
+        dtype=bool,
+        count=len(uniq),
+    )
+    fast_idx = np.flatnonzero(is_fast)
+    if len(fast_idx):
+        mat[fast_idx] = _embed_ascii_batch([uniq[i] for i in fast_idx], dim, n)
+    for i in np.flatnonzero(~is_fast):
+        mat[i] = _embed_one(uniq[i], dim, n)
+    mat = mat.astype(np.float32)
     out = mat[inverse]
     return pd.Series(list(out))
 

@@ -102,6 +102,18 @@ def context_window(
     return F.concat_ws(" ", F.concat(left, mention, right))
 
 
+def pad_or_truncate(col: Column | str, max_len: int, pad_value=0) -> Column:
+    """Fixed-length sequence: truncate an array column to ``max_len`` then
+    right-pad with ``pad_value`` — the reference's input_ids padding
+    (src/zeshel_dataset.py:76-81: ctx_tokens[:model_max_length-2] then
+    `+ [pad_token_id] * remaining`), SURVEY §2.5 W5, as a pure Column
+    expression (no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    sliced = F.slice(c, 1, max_len)
+    pad_n = F.greatest(F.lit(max_len) - F.size(sliced), F.lit(0))
+    return F.concat(sliced, F.array_repeat(F.lit(pad_value), pad_n))
+
+
 def mention_surface_from_text(
     text: Column | str, start_index: Column | str, end_index: Column | str
 ) -> Column:

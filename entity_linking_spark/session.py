@@ -82,8 +82,24 @@ def get_spark(
         try:
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
+            # With shuffle blocks on tmpfs there is no disk or network to
+            # save — lz4 framing is pure CPU overhead on the critical
+            # path (measured on the scaling probe: compression OFF lifts
+            # 32-core scored-pairs throughput ~40%, BENCH/BASELINE.md).
+            # On a real cluster (disk/network shuffle) leave these true.
+            builder = builder.config("spark.shuffle.compress", "false")
+            builder = builder.config("spark.shuffle.spill.compress", "false")
         except OSError:
             pass
+    # Smaller AQE target partitions keep post-coalesce parallelism ≥ the
+    # core count on local[N]'s modest shuffle volumes (64 MiB advisory
+    # coalesced the 32-core scoring stage below 32 tasks — measured ~40%
+    # throughput loss).  Cluster deployments with executor-count ≫ 32
+    # typically keep the 64 MiB default via this same conf.
+    builder = builder.config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+    )
     # Experiment knob: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" overlays confs
     # without code changes (used by bench/scaling probes in subprocesses).
     for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):

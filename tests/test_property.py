@@ -125,3 +125,23 @@ def test_simhash_batch_matches_scalar(rows):
     got = _simhash_reduce_batch(pd.Series(rows, dtype=object))
     want = np.array([_simhash_fp_scalar(r) for r in rows], dtype=np.int64)
     assert got.tolist() == want.tolist()
+
+
+# --- encoder: vectorized ASCII batch vs scalar reference ------------------
+
+ENC_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(ENC_TEXT, min_size=1, max_size=12), st.sampled_from([2, 3, 5]))
+def test_embed_series_matches_scalar(texts, n):
+    from entity_linking_spark.functions.encoder import _embed_one, embed_series
+
+    got = embed_series(pd.Series(texts), dim=32, n=n)
+    for t, g in zip(texts, got):
+        want = _embed_one(t, 32, n).astype(np.float32)
+        assert np.array_equal(np.asarray(g), want), repr(t)

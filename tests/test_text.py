@@ -86,3 +86,22 @@ def test_mention_surface_reconstruction(spark):
         mention_surface_from_text("text", "s", "e").alias("m")
     ).collect()[0]["m"]
     assert got == "quick brown"
+
+
+def test_pad_or_truncate(spark):
+    from entity_linking_spark.functions.text import pad_or_truncate
+
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, list(range(20))), (3, []), (4, [1, 2, 3, 4])],
+        "id long, ids array<int>",
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", pad_or_truncate("ids", 4, 0).alias("p")).collect()
+    }
+    assert got == {
+        1: [5, 6, 7, 0],
+        2: [0, 1, 2, 3],
+        3: [0, 0, 0, 0],
+        4: [1, 2, 3, 4],
+    }

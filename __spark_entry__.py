@@ -509,6 +509,24 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "cluster_id")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (streaming/events.py:
+    sessionize_batch — the SQL-expressible twin of the stateful
+    applyInPandasWithState sessionizer, which tests/test_streaming.py
+    checks against this operator's semantics)."""
+    from entity_linking_spark.streaming.events import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, key_col="user_id", gap_minutes=30)
+    return out.select(
+        "session_key",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming rollup)."""
     ev = _t(spark, sf_dir, "events")
@@ -568,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "connected_components": q_connected_components,
+        "sessionize": q_sessionize,
         "events_hourly": q_events_hourly,
     }
 
@@ -911,6 +930,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT format('v{:08d}', vec_id) AS node,
                    format('v{:08d}', min(vec_id) OVER (PARTITION BY label)) AS cluster_id
             FROM embeddings
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sess_id
+                FROM marked
+            )
+            SELECT CAST(user_id AS VARCHAR) AS session_key,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess
+            GROUP BY user_id, sess_id
         """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

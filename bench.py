@@ -148,6 +148,8 @@ def el_hot_path(spark, fixture_dir: str):
 
 
 def run_headline(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
     from entity_linking_spark.session import get_spark
 
     spark = get_spark(app_name="el-bench", cores=cores)
@@ -156,6 +158,20 @@ def run_headline(cores: int) -> dict:
 
     fixture = ensure_bench_fixture(spark)
     timings: dict[str, float] = {}
+
+    # Warm session fixed costs once — full Python-worker pool spawn (a
+    # pandas-UDF job across > cores partitions), codegen JIT, Arrow init —
+    # so each timed number below measures the OPERATOR, not session
+    # bring-up (CLAUDE.md perf rule #2; the scaling probes do the same).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        return x * 1.0
+
+    spark.range(200_000).repartition(2 * cores).select(
+        F.sum(_warm_udf(F.col("id").cast("double")))
+    ).collect()
 
     t0 = time.time()
     n_pairs, n_edges = el_hot_path(spark, fixture)
@@ -411,14 +427,15 @@ def run_scaling() -> dict:
             "pushed upward by removing non-scaling work from the hot path:\n"
             "r1 ~0.23 → 0.31 (binary-packed embeddings, broadcast-indexed\n"
             "scoring, integer surrogate ids, fused Arrow UDF); r2 → the\n"
-            "number above (≈0.43-0.49 across runs of this shared box)\n"
-            "and ~+30% absolute 32-core throughput (xxhash64-compacted\n"
-            "blocking keys = two-long shuffle rows; shuffle compression OFF\n"
-            "on tmpfs local dirs — lz4 was pure CPU with no disk/network to\n"
-            "save; 8 MiB AQE advisory partitions keep post-coalesce\n"
-            "parallelism ≥ core count).  The residual gap is the shared-box\n"
-            "shuffle/DRAM ceiling, which a real 4N-executor cluster does\n"
-            "not share.\n\n"
+            "number above, via xxhash64-compacted blocking keys (two-long\n"
+            "shuffle rows) + 8 MiB AQE advisory partitions (the 64 MiB\n"
+            "default coalesced the 32-core scoring stage below 32 tasks —\n"
+            "measured ~40% throughput loss).  Also tried and rejected:\n"
+            "shuffle compression off on tmpfs (+40% on this large probe but\n"
+            "20-30% SLOWER on bench-scale shuffles — lz4's byte savings\n"
+            "still relieve the shared memory bus; see session.py).  The\n"
+            "residual gap is the shared-box shuffle/DRAM ceiling, which a\n"
+            "real 4N-executor cluster does not share.\n\n"
             "The clustering stage is reported separately: large-star/small-star\n"
             "CC is fixpoint-iterative — at this fixture scale its wall is\n"
             "dominated by a fixed number of rounds (shuffle barriers), not by\n"

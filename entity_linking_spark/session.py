@@ -82,15 +82,13 @@ def get_spark(
         try:
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
-            # With shuffle blocks on tmpfs there is no disk or network to
-            # save — lz4 framing is pure CPU overhead on the critical
-            # path (measured on the scaling probe: compression OFF lifts
-            # 32-core scored-pairs throughput ~40%, BENCH/BASELINE.md).
-            # On a real cluster (disk/network shuffle) leave these true.
-            builder = builder.config("spark.shuffle.compress", "false")
-            builder = builder.config("spark.shuffle.spill.compress", "false")
         except OSError:
             pass
+    # Shuffle compression stays at the default (on): turning it off on
+    # tmpfs looked like a win on one large-probe A/B (+40%) but reliably
+    # LOSES 20-30% on smaller shuffles (bench fixture scale) — lz4 bytes
+    # saved still matter to the shared memory bus; revisit per-workload
+    # via SPARK_GRAFT_EXTRA_CONF rather than a global default.
     # Smaller AQE target partitions keep post-coalesce parallelism ≥ the
     # core count on local[N]'s modest shuffle volumes (64 MiB advisory
     # coalesced the 32-core scoring stage below 32 tasks — measured ~40%

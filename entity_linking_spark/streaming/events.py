@@ -139,6 +139,50 @@ def sessionize(
     )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of ``sessionize``: gap-based session windows via window
+    functions (lag → session-break flag → running sum = session id →
+    group).  Emits EVERY session (the streaming operator emits only
+    CLOSED ones); schema matches ``sessionize``'s output.  Fully
+    SQL-expressible, so it carries the driver-oracle for the gap
+    semantics the stateful streaming operator implements."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    # cast("double") keeps sub-second precision — unix_timestamp truncates
+    # to whole seconds and mis-assigns events near the gap boundary; the
+    # intermediate cast("timestamp") legalizes TIMESTAMP_NTZ inputs
+    # (NTZ→double is not a valid cast; session TZ is UTC, session.py)
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ts_sec).over(w)
+    new_sess = F.when(prev.isNull() | (ts_sec - prev > gap_s), 1).otherwise(0)
+    # two explicit projections: a running sum OVER a lag-derived column is
+    # a window-inside-window expression if fused into one select
+    marked = events.withColumn("__new", new_sess)
+    sess_id = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("__sess", sess_id)
+        .drop("__new")
+        .groupBy(F.col(key_col).cast("string").alias("session_key"), F.col("__sess"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .drop("__sess")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "rollup",
     output_mode: str = "complete",

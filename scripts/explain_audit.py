@@ -75,6 +75,20 @@ CHECKS = {
         ("signatures computed in scan projection (no pre-shuffle)", r"Project"),
         ("bucket-size guard via broadcast", r"BroadcastHashJoin"),
     ],
+    "line_dedup": [
+        ("boilerplate-frequency guard via broadcast", r"BroadcastHashJoin"),
+        ("only doc_id+text read",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "sessionize": [
+        ("session assignment via window functions", r"Window"),
+        ("only ts/user_id/value read",
+         r"ReadSchema: struct<ts:timestamp(_ntz)?,user_id:bigint,value:double>"),
+    ],
+    "pad_sequences": [
+        ("only doc_id+text read",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
 }
 
 

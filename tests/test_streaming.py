@@ -98,3 +98,43 @@ def test_sessionize_gap_windows(spark, tmp_path):
     # only user 1's first burst is CLOSED within the drained input
     assert got == {"1": (2, 3.0)}
     q.stop()
+
+
+def test_sessionize_batch_matches_stream_closed_sessions(spark, tmp_path):
+    """Batch sessionize_batch emits ALL sessions; the streaming operator
+    emits the CLOSED subset — on shared input the closed sessions must
+    agree exactly (key, bounds, aggregates)."""
+    from entity_linking_spark.streaming.events import sessionize, sessionize_batch
+
+    rows = [
+        (1, "2026-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2026-01-01 00:10:00", 1, "click", 2.0),
+        (3, "2026-01-01 03:00:00", 1, "view", 5.0),
+        (4, "2026-01-01 00:02:00", 2, "view", 7.0),
+        (5, "2026-01-01 04:00:00", 2, "view", 1.5),
+        (6, "2026-01-01 04:10:00", 2, "view", 2.5),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "ev_sb")
+    batch.write.parquet(src)
+    stream = read_event_stream(spark, src, batch.schema)
+    q = run_available_now(
+        sessionize(stream, key_col="user_id", gap_minutes=30),
+        str(tmp_path / "ckpt_sb"), query_name="t_sb", output_mode="append",
+    )
+    closed = {
+        (r["session_key"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_sb").collect()
+    }
+    q.stop()
+    allb = {
+        (r["session_key"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(batch, key_col="user_id", gap_minutes=30).collect()
+    }
+    assert closed  # at least user 1's first burst and user 2's first event closed
+    for k, v in closed.items():
+        assert allb.get(k) == v, k
+    # batch sees every session, incl. the open tails
+    assert len(allb) == 4

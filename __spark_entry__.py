@@ -527,6 +527,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: parse the events.props JSON column with
+    an explicit schema (from_json — JVM Jackson parse in the scan-stage
+    projection, no Python) and aggregate on the extracted field.  The
+    web-corpus analogue of pulling typed fields out of crawl metadata."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").getField("k").alias("k"),
+        "value",
+    )
+    return (
+        parsed.groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming rollup)."""
     ev = _t(spark, sf_dir, "events")
@@ -587,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "connected_components": q_connected_components,
         "sessionize": q_sessionize,
+        "json_extract": q_json_extract,
         "events_hourly": q_events_hourly,
     }
 
@@ -955,6 +973,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM sess
             GROUP BY user_id, sess_id
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

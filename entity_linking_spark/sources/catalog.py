@@ -119,6 +119,39 @@ class Catalog:
             os.path.join(self.root, "_metrics", name)
         )
 
+    def foreach_batch_sink(self, name: str):
+        """Structured-Streaming bridge: a ``foreachBatch`` function that
+        appends each micro-batch into stage ``name`` and keeps the
+        manifest's row count/snapshot current, so streaming ingest lands
+        in the same resumable stage tables the batch pipeline reads
+        (engine addition — the reference is pure batch, SURVEY §2.8).
+
+        Each batch costs one write + one count over the PERSISTED batch
+        (no source re-read); the snapshot id records the micro-batch id,
+        and `complete` stays true after every batch so a killed stream
+        resumes from both the stream checkpoint AND a readable stage."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                batch_df.write.mode("append").parquet(self._path(name))
+                n = batch_df.count()
+            finally:
+                batch_df.unpersist()
+            m = self._manifest()
+            entry = m.get(name) or {
+                "rows": 0,
+                "schema": batch_df.schema.simpleString(),
+                "complete": True,
+            }
+            entry["rows"] = (entry.get("rows") or 0) + n
+            entry["snapshot_id"] = f"{name}-b{batch_id}"
+            entry["complete"] = True
+            m[name] = entry
+            self._save_manifest(m)
+
+        return sink
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(f"local.db.{name}")

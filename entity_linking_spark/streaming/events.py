@@ -183,6 +183,22 @@ def sessionize_batch(
     )
 
 
+def run_stream_to_catalog(
+    stream_df: DataFrame, catalog, name: str, checkpoint_dir: str
+):
+    """Drain a stream into a resumable catalog stage table
+    (sources/catalog.py:foreach_batch_sink) with the availableNow
+    trigger; returns the finished query."""
+    q = (
+        stream_df.writeStream.foreachBatch(catalog.foreach_batch_sink(name))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "rollup",
     output_mode: str = "complete",

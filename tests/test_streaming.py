@@ -138,3 +138,42 @@ def test_sessionize_batch_matches_stream_closed_sessions(spark, tmp_path):
         assert allb.get(k) == v, k
     # batch sees every session, incl. the open tails
     assert len(allb) == 4
+
+
+def test_stream_to_catalog_stage(spark, tmp_path):
+    """Streaming ingest lands in a resumable catalog stage: rows match
+    the source, the manifest row count is current, and a SECOND drain of
+    new files appends (stream checkpoint + stage table both survive)."""
+    from entity_linking_spark.sources.catalog import Catalog
+    from entity_linking_spark.streaming.events import run_stream_to_catalog
+
+    rows = [
+        (1, "2026-01-01 00:05:00", 1, "click", 1.0),
+        (2, "2026-01-01 00:55:00", 2, "click", 2.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "ev_cat")
+    batch.write.parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    stream = read_event_stream(spark, src, batch.schema)
+    run_stream_to_catalog(stream, cat, "events_stage", str(tmp_path / "ckpt_cat"))
+
+    assert cat.is_complete("events_stage")
+    assert cat._manifest()["events_stage"]["rows"] == 2
+    assert cat.read("events_stage").count() == 2
+
+    # new file arrives → second drain appends only the new rows
+    more = spark.createDataFrame(
+        [(3, "2026-01-01 01:05:00", 1, "view", 3.0)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    more.write.mode("append").parquet(src)
+    stream2 = read_event_stream(spark, src, batch.schema)
+    run_stream_to_catalog(stream2, cat, "events_stage", str(tmp_path / "ckpt_cat"))
+
+    assert cat._manifest()["events_stage"]["rows"] == 3
+    got = sorted(r["event_id"] for r in cat.read("events_stage").collect())
+    assert got == [1, 2, 3]

@@ -527,6 +527,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event matched to the
+    latest view event of the same user at-or-before it — single-shuffle
+    union+window plan; DuckDB's native ASOF LEFT JOIN is the oracle.
+    Views are deduped to one row per (user, ts) first (ties inside one
+    timestamp have no defined as-of winner)."""
+    from pyspark.sql import Window
+
+    from entity_linking_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = as_of_join(clicks, views, on=["user_id"], right_value_cols=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.unix_timestamp("ts_r").alias("view_epoch"),
+        F.round("value", 4).alias("view_value"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: parse the events.props JSON column with
     an explicit schema (from_json — JVM Jackson parse in the scan-stage
@@ -604,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "connected_components": q_connected_components,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "json_extract": q_json_extract,
         "events_hourly": q_events_hourly,
     }
@@ -973,6 +1005,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM sess
             GROUP BY user_id, sess_id
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT c.user_id, c.event_id,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+                   CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+                   round(v.value, 4) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "json_extract": """
             SELECT event_type,

@@ -181,6 +181,11 @@ def run_headline(cores: int) -> dict:
     # DuckDB gate can check them exactly); the BENCH numbers here keep
     # measuring the operators on the REAL document corpus — same operator
     # calls the r01 driver queries made, so timings stay comparable.
+    # NOTE: both timings include ~8-10s of ONE-TIME Catalyst analysis +
+    # codegen for the 64-wide signature expression trees (warm re-runs
+    # measure 2-3s); that constant amortizes to zero on long jobs and the
+    # interpreted small-tree alternative measured ~100× slower at
+    # execution (BENCH/BASELINE.md, memory notes).
     def bench_minhash(spark, sf_dir):
         from pyspark.sql import functions as F
 

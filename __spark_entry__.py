@@ -270,6 +270,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup suite over documents
 # ---------------------------------------------------------------------------
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-(lang, source) sample of documents — deterministic
+    md5-order stratified sampling (operators/transform.py:
+    stratified_sample), the corpus-balancing op of a training-data
+    pipeline."""
+    from entity_linking_spark.operators.transform import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], 5, "doc_id")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_linking_spark.operators.dedup import exact_dedup
 
@@ -611,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "entity_overlap": q_entity_overlap,
         "tiny_split": q_tiny_split,
+        "stratified_sample": q_stratified_sample,
         "context_window": q_context_window,
         "pad_sequences": q_pad_sequences,
         "theta_join": q_theta_join,
@@ -681,6 +693,13 @@ def oracle_sql() -> dict[str, str]:
         "tiny_split": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_orderkey LIMIT 100
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang, source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 5
         """,
         "context_window": """
             WITH w AS (

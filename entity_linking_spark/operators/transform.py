@@ -86,3 +86,32 @@ def tiny_split(mentions: DataFrame, n: int = 100, order_col: str = "mention_id")
 def entity_overlap_counts(a: DataFrame, b: DataFrame, key: str = "document_id") -> int:
     """Split-overlap audit (reference src/transform_zeshel.py:69-74)."""
     return a.select(key).intersect(b.select(key)).count()
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic balanced sampling: exactly min(n, |stratum|) rows per
+    stratum, chosen by md5-hash order of the id (engine addition — the
+    training-data op behind per-language / per-source corpus balancing;
+    the reference's split sampling is a file-order head, W2/W3).
+
+    md5-of-id ordering gives a seedable-in-spirit, engine-portable
+    pseudo-random total order (identical hex-string comparisons in Spark
+    and ANSI SQL engines — unlike xxhash64 or rand(seed)); the id itself
+    breaks md5-collision ties.  One window shuffle on the strata key;
+    per-stratum top-n, not a sort of the whole stratum (Spark's window
+    top-k stays a partial sort under WholeStageCodegen)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -82,3 +82,24 @@ def test_entity_overlap(spark):
     a = spark.createDataFrame([("d1",), ("d2",)], "document_id string")
     b = spark.createDataFrame([("d2",), ("d3",)], "document_id string")
     assert entity_overlap_counts(a, b) == 1
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from entity_linking_spark.operators.transform import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr", f"s{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = stratified_sample(df, ["lang", "source"], 4, "doc_id")
+    got = out.collect()
+    # exactly min(4, stratum size) per (lang, source)
+    from collections import Counter
+
+    sizes = Counter((r["lang"], r["source"]) for r in got)
+    full = Counter((lang, src) for _, lang, src in rows)
+    assert sizes == {k: min(4, v) for k, v in full.items()}
+    # deterministic across runs
+    again = {r["doc_id"] for r in stratified_sample(df, ["lang", "source"], 4, "doc_id").collect()}
+    assert again == {r["doc_id"] for r in got}
+    # a small stratum (< n) is returned whole
+    tiny = stratified_sample(df.where("lang = 'fr'"), ["lang"], 100, "doc_id")
+    assert tiny.count() == sum(1 for _, lang, _ in rows if lang == "fr")

@@ -440,6 +440,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/tfidf.py): top-3 terms per
+    document, smooth-idf, deterministic tie-break."""
+    from entity_linking_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 4).alias("tfidf"),
+        "rank",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets.  Identical
     vectors always share every bucket, so the planted-duplicate pair set
@@ -642,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -973,6 +991,36 @@ def oracle_sql() -> dict[str, str]:
                              - least(pr * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))))
                          / CAST(3.0 AS DOUBLE), 4) AS quality
             FROM m
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT id, t AS term FROM (
+                    SELECT doc_id AS id,
+                           unnest(list_filter(
+                               string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS t
+                    FROM documents)
+                WHERE length(t) >= 2
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfr AS (
+                SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT id, term FROM toks) GROUP BY 1
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT id, term, tf, df,
+                       tf * (ln((n_docs + CAST(1.0 AS DOUBLE))
+                                / (df + CAST(1.0 AS DOUBLE)))
+                             + CAST(1.0 AS DOUBLE)) AS tfidf
+                FROM tf JOIN dfr USING (term), n
+            )
+            SELECT id AS doc_id, term, tf, df, round(tfidf, 4) AS tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY id ORDER BY tfidf DESC, term ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 3
         """,
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b,

@@ -1,0 +1,58 @@
+"""TF-IDF term scoring over a document corpus.
+
+Engine addition (no reference counterpart — the reference's only term
+weighting is implicit in its BERT tower): the classic sparse-retrieval /
+keyword-extraction op a training-data pipeline uses for topic filtering
+and near-duplicate triage.  Smooth idf = ln((N+1)/(df+1)) + 1
+(scikit-learn's convention).
+
+Scale shape: two hash aggregations (tf on (doc, term), df on term) and
+one broadcast of the term→idf table (vocabulary-sized, ≪ corpus); the
+per-doc top-k is the partial-sort window.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.text import normalize_text, words
+from entity_linking_spark.operators.topk import top_k_per_group
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_term_chars: int = 2,
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (ties → lexicographic term).
+
+    Output: (id, term, tf, df, tfidf, rank)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("term"),
+    ).where(F.length("term") >= min_term_chars)
+
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = (
+        toks.select("id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    return top_k_per_group(
+        scored.select("id", "term", "tf", "df", "tfidf"),
+        ["id"],
+        "tfidf",
+        k,
+        tiebreak_cols=["term"],
+    )

@@ -266,6 +266,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means-bucketed) ANN, oracled via the same planted-duplicate
+    construction as q_ann_lsh_topk: queries are exact copies of corpus
+    vectors, so the rank-1 hit is deterministic (identical vectors share
+    the nearest centroid) at cosine 1.0."""
+    from entity_linking_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    out = ivf_topk(q, c, dim=dim, k=5, num_centroids=16, nprobe=2)
+    return out.where(F.col("rank") == 1).select(
+        "query_id", "corpus_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite over documents
 # ---------------------------------------------------------------------------
@@ -649,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rate": q_retrieval_rate,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -833,6 +853,11 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "ann_lsh_topk": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS corpus_id,
+                   CAST(1 AS INTEGER) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 30
+        """,
+        "ann_ivf_topk": """
             SELECT vec_id + 100000 AS query_id, vec_id AS corpus_id,
                    CAST(1 AS INTEGER) AS rank, CAST(1.0 AS DOUBLE) AS cosine
             FROM embeddings WHERE vec_id < 30

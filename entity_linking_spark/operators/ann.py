@@ -181,6 +181,98 @@ def lsh_topk(
     )
 
 
+def _kmeans_fit(vectors: np.ndarray, k: int, iterations: int = 5) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the IVF
+    coarse quantizer is k×dim — centroid count is small by design, so
+    fitting on a bounded sample is the standard FAISS-style recipe).
+    Init = first k distinct sample rows (sample order is deterministic);
+    empty clusters keep their previous centroid."""
+    uniq = np.unique(vectors, axis=0)
+    if len(uniq) < k:
+        k = max(len(uniq), 1)
+    centroids = uniq[:k].astype(np.float64)
+    for _ in range(iterations):
+        d2 = ((vectors[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = vectors[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _make_ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """array<int> of the nprobe nearest centroid ids for a packed-binary
+    or array<float> embedding column (batch: one distance matrix)."""
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        first = next((x for x in emb if x is not None), None)
+        if isinstance(first, (bytes, bytearray)):
+            mat = _packed_to_matrix(emb)
+        else:
+            mat = np.array([np.asarray(x, dtype=np.float64) for x in emb])
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        scores = mat @ cent.T - 0.5 * (cent**2).sum(axis=1)[None, :]
+        top = np.argsort(-scores, axis=1)[:, :nprobe]
+        return pd.Series(list(top.tolist()))
+
+    return assign_udf
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    train_sample: int = 10_000,
+    kmeans_iterations: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the k-means-bucketed alternative to
+    ``lsh_topk``: corpus vectors land in their nearest-centroid list,
+    queries probe their ``nprobe`` nearest lists, candidates are scored
+    exactly.  Identical vectors always share the nearest centroid, so
+    the planted-duplicate oracle construction transfers from LSH.
+
+    Same scale contract as lsh_topk: the centroid-list join shuffles
+    (id, centroid) pairs only; packed-binary embeddings re-attach to the
+    candidate pairs by id.  The coarse quantizer is fit on a bounded,
+    deterministic driver-side sample (limit train_sample) — k×dim floats
+    broadcast to every task, no iterative Spark job."""
+    sample = corpus.select("embedding").limit(train_sample).toPandas()["embedding"]
+    vecs = np.array([np.asarray(x, dtype=np.float64) for x in sample])
+    if len(vecs) == 0:
+        raise ValueError("ivf_topk: empty corpus (cannot fit the coarse quantizer)")
+    centroids = _kmeans_fit(vecs, num_centroids, kmeans_iterations)
+
+    qp = _pack_side(queries, query_id, "query_id", "q_pemb")
+    cp = _pack_side(corpus, corpus_id, "corpus_id", "c_pemb")
+    probe_udf = _make_ivf_assign_udf(centroids, nprobe)
+    home_udf = _make_ivf_assign_udf(centroids, 1)
+    qk = qp.select(
+        "query_id", F.explode(probe_udf(F.col("q_pemb"))).alias("centroid")
+    )
+    ck = cp.select(
+        "corpus_id", F.explode(home_udf(F.col("c_pemb"))).alias("centroid")
+    )
+    cand = qk.join(ck, "centroid").select("query_id", "corpus_id")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("corpus_id"))
+    cand = cand.dropDuplicates(["query_id", "corpus_id"])
+    scored = _score_candidates(cand, qp, cp)
+    return top_k_per_group(
+        scored, ["query_id"], "cosine", k, tiebreak_cols=["corpus_id"]
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str,

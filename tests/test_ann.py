@@ -104,3 +104,22 @@ def test_lsh_topk_recall(spark, vec_df):
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits / len(exact) >= 0.9
+
+
+def test_ivf_topk_recall(spark, vec_df):
+    """IVF top-1 must agree with exact top-1 for most queries on strongly
+    clustered vectors (same-cluster neighbors share centroid lists)."""
+    from entity_linking_spark.operators.ann import ivf_topk
+
+    q = vec_df.select(F.col("id").alias("query_id"), "embedding")
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    exact = {
+        r["query_id"]: r["corpus_id"]
+        for r in brute_force_topk(q, c, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["corpus_id"]
+        for r in ivf_topk(q, c, dim=DIM, k=1, num_centroids=8, nprobe=2).collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits / len(exact) >= 0.9

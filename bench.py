@@ -150,6 +150,7 @@ def el_hot_path(spark, fixture_dir: str):
 def run_headline(cores: int) -> dict:
     from pyspark.sql import functions as F
 
+    from entity_linking_spark.operators._cache import release_cached
     from entity_linking_spark.session import get_spark
 
     spark = get_spark(app_name="el-bench", cores=cores)
@@ -176,16 +177,20 @@ def run_headline(cores: int) -> dict:
     t0 = time.time()
     n_pairs, n_edges = el_hot_path(spark, fixture)
     timings["el_pipeline"] = round(time.time() - t0, 3)
+    # drop the hot path's persisted stages (feature tables, candidate
+    # pairs, key streams) before the per-query loop: they are dead weight
+    # from here on and would squeeze the loop's own caches
+    spark.catalog.clearCache()
+    release_cached()
 
     # minhash/simhash driver queries run a planted-oracle corpus (so the
     # DuckDB gate can check them exactly); the BENCH numbers here keep
     # measuring the operators on the REAL document corpus — same operator
     # calls the r01 driver queries made, so timings stay comparable.
-    # NOTE: both timings include ~8-10s of ONE-TIME Catalyst analysis +
-    # codegen for the 64-wide signature expression trees (warm re-runs
-    # measure 2-3s); that constant amortizes to zero on long jobs and the
-    # interpreted small-tree alternative measured ~100× slower at
-    # execution (BENCH/BASELINE.md, memory notes).
+    # (Their one-time Catalyst/codegen constant for the 64-wide signature
+    # trees lands in the untimed warm pass below — queries_cold records
+    # it; the interpreted small-tree alternative measured ~100× slower at
+    # execution, BENCH/BASELINE.md.)
     def bench_minhash(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -216,11 +221,27 @@ def run_headline(cores: int) -> dict:
     qmap = entrymod.queries()
     qmap["minhash_dedup"] = bench_minhash
     qmap["simhash_dedup"] = bench_simhash
+    # Warm steady-state measurement (VERDICT r02 finding #1; CLAUDE.md
+    # perf rule #2): each query runs ONCE untimed — that pass pays the
+    # one-time Catalyst analysis + Janino codegen of its expression trees
+    # (~8-10 s for the 64-wide signature families, a constant that
+    # amortizes to zero on long production jobs) — then ONCE timed.  The
+    # timed pass rebuilds the DataFrame from scratch (new plan objects,
+    # new operator-internal persists), so it measures the full compute,
+    # not a cache readback; tracked caches are released between passes so
+    # no run inherits the other's persisted intermediates.  The cold
+    # first-pass walls are reported alongside as queries_cold.
+    cold: dict[str, float] = {}
     for name in headline:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+        release_cached()
         t0 = time.time()
         df = qmap[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_cached()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -228,6 +249,7 @@ def run_headline(cores: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": _sf_of(SF_DIR),
         "cores": cores,
         "el_scored_pairs": n_pairs,

@@ -45,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--pages", type=int, default=3000)
     gen.add_argument("--entities", type=int, default=300)
     gen.add_argument("--seed", type=int, default=42)
+
+    rep = sub.add_parser(
+        "report",
+        help="render the retrieval-rate table (reference generate_plots.py analogue)",
+    )
+    rep.add_argument(
+        "--scored", required=True,
+        help="parquet of scored candidates: mention_id,entity_id,true_entity_id,score",
+    )
+    rep.add_argument("--out", default="-", help="output .md path ('-' = stdout)")
+    rep.add_argument("--ks", default="1,4,8,16,32,64",
+                     help="comma-separated k values")
     return p
 
 
@@ -64,6 +76,21 @@ def main(argv: list[str] | None = None) -> int:
                          ("labeled_pairs", lp)]:
             df.write.mode("overwrite").parquet(f"{args.out}/{name}")
         print(json.dumps({"out": args.out, "pages": args.pages, "entities": args.entities}))
+        return 0
+
+    if args.cmd == "report":
+        from entity_linking_spark.operators.topk import retrieval_rates
+        from entity_linking_spark.report import rates_from_row, render_retrieval_report
+
+        ks = tuple(int(k) for k in args.ks.split(","))
+        row = retrieval_rates(spark.read.parquet(args.scored), ks=ks).first()
+        text = render_retrieval_report(rates_from_row(row))
+        if args.out == "-":
+            print(text)
+        else:
+            with open(args.out, "w") as f:
+                f.write(text)
+            print(json.dumps({"out": args.out, "ks": list(ks)}))
         return 0
 
     from entity_linking_spark.operators.scoring import ScoringConfig
@@ -96,4 +123,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # spark-submit ships the package via --py-files; when run as a plain
+    # script make the repo root importable so the driver side works too
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.exit(main())

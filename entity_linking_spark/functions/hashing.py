@@ -45,7 +45,7 @@ def word_shingles(words_col: Column | str, k: int = 2) -> Column:
     )
 
 
-MERSENNE_31 = (1 << 31) - 1
+MASK_31 = (1 << 31) - 1  # low-31-bit mask: (h & MASK_31) ≡ h mod 2^31
 
 
 def minhash_signature(tokens: Column | str, num_hashes: int = 64, seed: int = 42) -> Column:
@@ -53,8 +53,10 @@ def minhash_signature(tokens: Column | str, num_hashes: int = 64, seed: int = 42
 
     Hash family: Kirsch-Mitzenmacher double hashing — per token only TWO
     string hashes run (h1 = xxhash64(tok), h2 = xxhash64(seed, tok), both
-    folded into [0, 2^31-1)); permutation i is the integer combination
-    h_i = (h1 + i·h2) mod p.  This halves-to-quarters the signature cost
+    masked to the low 31 bits, i.e. reduced mod 2^31 — a mask, not the
+    Mersenne-prime modulus; ADVICE r02); permutation i is the integer
+    combination h_i = (h1 + i·h2) mod 2^31, well-distributed because h2
+    is forced odd (OR 1).  This halves-to-quarters the signature cost
     vs num_hashes independent xxhash64 calls (each re-reads the token
     string; VERDICT r01 flagged the 64× family as minhash_dedup's
     dominant cost) while keeping the min-wise estimator sound.  All
@@ -63,7 +65,7 @@ def minhash_signature(tokens: Column | str, num_hashes: int = 64, seed: int = 42
     Empty token array → all MAX_LONG (matches "empty set" semantics).
     """
     t = _c(tokens)
-    mask = MERSENNE_31  # low-31-bit mask: (h & mask) ≡ h mod 2^31, one AND
+    mask = MASK_31
     bases = F.transform(
         t,
         lambda tok: F.struct(
@@ -122,15 +124,28 @@ def _simhash_fp_scalar(hs) -> int:
     return int(fp.astype(np.int64))
 
 
-def _simhash_reduce_batch(hashes: pd.Series) -> np.ndarray:
+_SIMHASH_CHUNK_TOKENS = 1 << 20  # ≤ ~512 MB of bit matrix per slice
+
+
+def _simhash_reduce_batch(
+    hashes: pd.Series, max_chunk_tokens: int = _SIMHASH_CHUNK_TOKENS
+) -> np.ndarray:
     """Vectorized batch SimHash reduction — no per-row Python loops.
 
-    Rows are flattened into one (total_tokens,) array; the (total, 64)
-    bit matrix is summed per row with a single np.add.reduceat over the
-    row offsets, and the 64 sign bits collapse to the fingerprint with
-    one weighted sum per row.  Replaces the per-row 64-iteration Python
-    loop (VERDICT r01 finding #4 — the old kernel dominated
-    simhash_dedup's bench time)."""
+    Rows are flattened into one (total_tokens,) array; the (tokens, 64)
+    bit matrix is summed per row with np.add.reduceat over the row
+    offsets, and the 64 sign bits collapse to the fingerprint with one
+    weighted sum per row.  Replaces the per-row 64-iteration Python loop
+    (VERDICT r01 finding #4 — the old kernel dominated simhash_dedup's
+    bench time).
+
+    The flattened token stream is processed in slices of at most
+    ``max_chunk_tokens`` tokens, split only on row boundaries, so the bit
+    matrix's transient allocation stays bounded (~512 bytes/token — an
+    unchunked 10k-row batch of long shingled docs could allocate GBs at
+    once; ADVICE r02, same class as CLAUDE.md numpy-kernel rule).  A
+    single row longer than the cap still processes alone (its matrix is
+    the same size the old per-row loop peaked at)."""
     n = len(hashes)
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
@@ -146,10 +161,22 @@ def _simhash_reduce_batch(hashes: pd.Series) -> np.ndarray:
         [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs) > 0]
     ).astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (total, 64)
-    offsets = np.concatenate(([0], np.cumsum(lengths)))[:-1][nonempty]
-    ones = np.add.reduceat(bits, offsets, axis=0)  # (n_nonempty, 64)
-    votes = 2 * ones - lengths[nonempty][:, None]
+    ne_lengths = lengths[nonempty]
+    ends = np.cumsum(ne_lengths)
+    starts = ends - ne_lengths
+    ones_parts = []
+    i = 0
+    n_rows = len(ne_lengths)
+    while i < n_rows:
+        # widest j with ends[j-1] - starts[i] ≤ cap, but always ≥ i+1 rows
+        j = int(np.searchsorted(ends, starts[i] + max_chunk_tokens, side="right"))
+        j = max(j, i + 1)
+        chunk = flat[starts[i] : ends[j - 1]]
+        bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        ones_parts.append(np.add.reduceat(bits, starts[i:j] - starts[i], axis=0))
+        i = j
+    ones = np.concatenate(ones_parts)  # (n_nonempty, 64)
+    votes = 2 * ones - ne_lengths[:, None]
     powers = np.uint64(1) << shifts  # 1<<63 wraps correctly in uint64
     fps = ((votes > 0).astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
     out[nonempty] = fps.view(np.int64)

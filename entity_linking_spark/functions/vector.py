@@ -59,12 +59,24 @@ def _to_matrix(s: pd.Series) -> np.ndarray:
 
 def _packed_to_matrix(s: pd.Series) -> np.ndarray:
     """binary packed-float32 Series → (n, dim) float64 matrix — ONE
-    np.frombuffer over the concatenated batch, no per-row objects."""
+    np.frombuffer over the concatenated batch, no per-row objects.
+
+    NULLs are rejected with a clear error (pack_f32_udf deliberately
+    emits None for null inputs; the b''.join otherwise dies with an
+    opaque TypeError mid-batch, ADVICE r02).  The ANN operators filter
+    null embeddings at pack time (operators/ann.py:_pack_side), so this
+    only fires on direct UDF use over an unfiltered corpus."""
     n = len(s)
     if n == 0:
         return np.zeros((0, 1), dtype=np.float64)
+    vals = s.to_numpy()
+    if any(v is None for v in vals):
+        raise ValueError(
+            "packed embedding column contains NULL — drop or impute null "
+            "embeddings before batch scoring (see operators/ann._pack_side)"
+        )
     return (
-        np.frombuffer(b"".join(s.to_numpy()), dtype="<f4")
+        np.frombuffer(b"".join(vals), dtype="<f4")
         .reshape(n, -1)
         .astype(np.float64)
     )

@@ -18,7 +18,8 @@ SCALE.md / operators/scoring.py):
    column exists in the plan.
 2. The bucket join shuffles (id, bkey) pairs ONLY — the exploded key
    stream never carries the embedding, so the shuffled bytes are
-   O(num_tables × id) instead of O(num_tables × dim) per vector.
+   O(num_tables × id) instead of O(num_tables × dim) per vector.  The
+   bkey itself is an xxhash64-folded bigint (fixed 8 B, not a string).
 3. Candidate pairs re-attach the packed embeddings by two id-key joins
    (each ships each embedding at most once; Catalyst broadcasts the
    corpus side when it fits under autoBroadcastJoinThreshold), then one
@@ -98,16 +99,22 @@ def make_bucket_udf(dim: int, num_planes: int, num_tables: int, seed: int = 42):
 
 
 def _pack_side(df: DataFrame, id_col: str, out_id: str, out_emb: str) -> DataFrame:
-    """(id, packed-binary embedding), persisted: consumed by both the
-    bucket-key projection and the candidate re-attach join.  At production
-    scale this is a checkpointed stage table (sources/catalog.py) rather
-    than an executor cache."""
-    from pyspark import StorageLevel
+    """(id, packed-binary embedding), persisted via the tracked-cache
+    registry (operators/_cache.py — callers or ``cache_scope`` release it;
+    the r02 version leaked the cache for the session lifetime): consumed
+    by both the bucket-key projection and the candidate re-attach join.
+    At production scale this is a checkpointed stage table
+    (sources/catalog.py) rather than an executor cache.
 
-    packed = df.select(
+    Rows with a NULL embedding are dropped here — they cannot be bucketed
+    or scored, and letting them through crashes the packed-batch decode
+    (functions/vector.py:_packed_to_matrix, ADVICE r02)."""
+    from entity_linking_spark.operators._cache import track
+
+    packed = df.where(F.col("embedding").isNotNull()).select(
         F.col(id_col).alias(out_id), pack_f32_udf(F.col("embedding")).alias(out_emb)
     )
-    return packed.persist(StorageLevel.MEMORY_AND_DISK)
+    return track(packed)
 
 
 def _lsh_candidates(
@@ -119,19 +126,20 @@ def _lsh_candidates(
     """Distinct (query_id, corpus_id) candidates from the bucket equi-join.
 
     ONLY ids flow through the bkey shuffle — the packed embeddings stay
-    behind in qp/cp and are re-attached after candidate dedup."""
+    behind in qp/cp and are re-attached after candidate dedup.  The
+    (table, bucket) pair is folded to ONE xxhash64 long, so the exchange
+    ships two fixed-width longs per row instead of an 8-20 B string key
+    (the same compact-key win blocking measured, operators/blocking.py
+    BlockingConfig.compact_keys; VERDICT r02 finding #5).  A rare hash
+    collision merely merges two buckets — extra candidates are scored
+    exactly downstream, so recall is unaffected."""
+    bkey = F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
     qk = qp.select(
         "query_id", F.posexplode(bucket_udf(F.col("q_pemb"))).alias("table", "bucket")
-    ).select(
-        "query_id",
-        F.concat_ws(":", F.col("table").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
-    )
+    ).select("query_id", bkey)
     ck = cp.select(
         "corpus_id", F.posexplode(bucket_udf(F.col("c_pemb"))).alias("table", "bucket")
-    ).select(
-        "corpus_id",
-        F.concat_ws(":", F.col("table").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
-    )
+    ).select("corpus_id", bkey)
     cand = qk.join(ck, "bkey").select("query_id", "corpus_id")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("corpus_id"))
@@ -201,6 +209,36 @@ def _kmeans_fit(vectors: np.ndarray, k: int, iterations: int = 5) -> np.ndarray:
     return centroids
 
 
+def _fit_quantizer(
+    corpus: DataFrame,
+    corpus_id: str,
+    num_centroids: int,
+    train_sample: int,
+    kmeans_iterations: int,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer on a bounded, order-deterministic
+    sample: rows ordered by xxhash64(id) (id tie-break for collisions),
+    then limit(train_sample).  orderBy+limit compiles to a distributed
+    partial top-k (TakeOrderedAndProject), so the SAME rows arrive in the
+    SAME order at any parallelism — the r02 version's bare ``limit``
+    took whichever partitions answered first, which is stable on a local
+    scan but not under cluster scheduling (VERDICT r02 finding #3), while
+    the engine's north rule promises run-identical output.  Ordering by
+    the id hash (not the id) also makes the sample an unbiased
+    pseudo-random draw rather than the id-smallest prefix."""
+    sample = (
+        corpus.where(F.col("embedding").isNotNull())
+        .select(F.col(corpus_id).alias("__cid"), "embedding")
+        .orderBy(F.xxhash64(F.col("__cid")), F.col("__cid"))
+        .limit(train_sample)
+        .toPandas()["embedding"]
+    )
+    vecs = np.array([np.asarray(x, dtype=np.float64) for x in sample])
+    if len(vecs) == 0:
+        raise ValueError("ivf_topk: empty corpus (cannot fit the coarse quantizer)")
+    return _kmeans_fit(vecs, num_centroids, kmeans_iterations)
+
+
 def _make_ivf_assign_udf(centroids: np.ndarray, nprobe: int):
     """array<int> of the nprobe nearest centroid ids for a packed-binary
     or array<float> embedding column (batch: one distance matrix)."""
@@ -245,13 +283,11 @@ def ivf_topk(
     Same scale contract as lsh_topk: the centroid-list join shuffles
     (id, centroid) pairs only; packed-binary embeddings re-attach to the
     candidate pairs by id.  The coarse quantizer is fit on a bounded,
-    deterministic driver-side sample (limit train_sample) — k×dim floats
-    broadcast to every task, no iterative Spark job."""
-    sample = corpus.select("embedding").limit(train_sample).toPandas()["embedding"]
-    vecs = np.array([np.asarray(x, dtype=np.float64) for x in sample])
-    if len(vecs) == 0:
-        raise ValueError("ivf_topk: empty corpus (cannot fit the coarse quantizer)")
-    centroids = _kmeans_fit(vecs, num_centroids, kmeans_iterations)
+    ORDER-DETERMINISTIC driver-side sample (see ``_fit_quantizer``) —
+    k×dim floats broadcast to every task, no iterative Spark job."""
+    centroids = _fit_quantizer(
+        corpus, corpus_id, num_centroids, train_sample, kmeans_iterations
+    )
 
     qp = _pack_side(queries, query_id, "query_id", "q_pemb")
     cp = _pack_side(corpus, corpus_id, "corpus_id", "c_pemb")

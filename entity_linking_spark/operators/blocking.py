@@ -122,15 +122,17 @@ def candidate_pairs(
     joined plainly.  The key-frequency table is tiny (distinct keys ×
     count) and is broadcast to classify both streams without a shuffle.
 
-    Both key streams are persisted here: the plan consumes each 3-5 times
-    (frequency agg, hot/cold split, joins), and the MinHash signature
-    expressions feeding them are expensive to recompute (measured ~10×
-    end-to-end speedup at bench scale).
+    Both key streams are persisted here (via the tracked-cache registry,
+    operators/_cache.py — release with ``cache_scope``/``release_cached``
+    once the pair table is materialized): the plan consumes each 3-5
+    times (frequency agg, hot/cold split, joins), and the MinHash
+    signature expressions feeding them are expensive to recompute
+    (measured ~10× end-to-end speedup at bench scale).
     """
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
-    mention_keys = mention_keys.persist(StorageLevel.MEMORY_AND_DISK)
-    entity_keys = entity_keys.persist(StorageLevel.MEMORY_AND_DISK)
+    mention_keys = track(mention_keys)
+    entity_keys = track(entity_keys)
     # Eager materialization: the downstream plan consumes each stream from
     # several concurrent branches (broadcast subqueries + hot/cold splits);
     # populating the cache first prevents racing branches from redundantly

@@ -50,9 +50,9 @@ def _pair_candidates_by_key(keys: DataFrame, max_bucket: int = 10_000) -> DataFr
     Buckets larger than ``max_bucket`` are dropped (quadratic blowup guard:
     a 10^6-doc bucket would emit 10^12 pairs); near-dup content that common
     is caught by the exact-dedup pass instead."""
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
-    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    keys = track(keys)
     keys.count()  # eager: consumed by the size agg and both join sides
     sizes = keys.groupBy("key").agg(F.count("*").alias("n"))
     ok = F.broadcast(sizes.where(F.col("n") <= max_bucket).select("key"))
@@ -83,10 +83,17 @@ def ngram_jaccard_pairs(
     "the"); verification: |A∩B| via an explode-join-count,
     |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
 
+    Candidates additionally pass the Jaccard size bound BEFORE the
+    exploded intersection join: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    pair whose gram-count ratio is under the threshold cannot reach it —
+    at web scale this kills most any-shared-token false candidates at
+    zero recall cost, removing the dominant cost term (the intersection
+    explode) for them (VERDICT r02 finding #6).
+
     ``tokenizer``: "char" → character n-grams of the normalized text;
     "word" → whitespace word tokens (n ignored).
     """
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
     if tokenizer == "word":
         from entity_linking_spark.functions.text import words
@@ -102,23 +109,29 @@ def ngram_jaccard_pairs(
     ).withColumn("n_grams", F.size("grams"))
 
     # consumed by candidate gen + both sides of the intersection join
-    exploded = norm.select("id", F.explode("grams").alias("key")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    exploded = track(norm.select("id", F.explode("grams").alias("key")))
     cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
+
+    # size prefilter: attach gram counts to the (cheap, two-long) candidate
+    # rows and drop ratio-infeasible pairs BEFORE the exploded intersection
+    sizes = norm.select("id", "n_grams")
+    cand = (
+        cand.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+        .where(
+            F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+    )
 
     ga = exploded.withColumnsRenamed({"id": "id_a", "key": "g"})
     gb = exploded.withColumnsRenamed({"id": "id_b", "key": "g"})
     inter = (
         cand.join(ga, "id_a").join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = norm.select("id", "n_grams")
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
@@ -142,27 +155,46 @@ def minhash_lsh_pairs(
 
     The estimate (fraction of agreeing minhashes) avoids a second pass
     over raw token sets; with 64 hashes the estimator's σ ≈ 0.06.
+
+    Candidates first pass the Jaccard size bound (true J ≤ min/max of the
+    distinct-shingle counts, both computed in the same scan projection as
+    the signature): a bucket-collision pair whose size ratio is under the
+    threshold cannot have true Jaccard ≥ threshold, so it is dropped
+    before the 64-long signature rows join on — this also tightens the
+    estimator (it can no longer pass a ratio-infeasible pair on hash
+    luck).  VERDICT r02 finding #6.
     """
     rows_per_band = num_hashes // bands
     from entity_linking_spark.functions.hashing import word_shingles
 
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(
-            F.array_distinct(word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)),
-            num_hashes=num_hashes,
-        ).alias("sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingle_set = F.array_distinct(
+        word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)
+    )
+    sigs = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(shingle_set, num_hashes=num_hashes).alias("sig"),
+            F.size(shingle_set).alias("n_sh"),
+        )
+    )
     sigs.count()  # eager: consumed by band keys + both verification joins
     keys = sigs.select(
         "id", F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("key")
     )
     cand = _pair_candidates_by_key(keys, max_bucket=max_bucket)
 
-    sa = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
-    sb = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    sizes = sigs.select("id", "n_sh")
+    cand = (
+        cand.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .where(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+        .select("id_a", "id_b")
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -192,12 +224,14 @@ def simhash_pairs(
     """SimHash near-dup pairs: 64-bit fingerprint, bucketed on its four
     16-bit bands (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band), verified
     with bit_count(xor) ≤ max_hamming."""
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
-    fp = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(words(normalize_text(F.col(text_col)))).alias("fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash64(words(normalize_text(F.col(text_col)))).alias("fp"),
+        )
+    )
     fp.count()  # eager: consumed by band keys + both verification joins
     band_arr = F.array(
         *[
@@ -264,12 +298,14 @@ def line_dedup_pairs(
     ``max_doc_freq`` docs are dropped before the self-join (site-wide
     boilerplate would otherwise go quadratic) — surface those with
     ``boilerplate_lines`` instead."""
-    from pyspark import StorageLevel
+    from entity_linking_spark.operators._cache import track
 
     docs = _doc_lines(df, id_col, text_col, line_sep_re, min_line_chars)
-    keys = docs.select("id", F.explode("lines").alias("line")).select(
-        "id", F.xxhash64("line").alias("key")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys = track(
+        docs.select("id", F.explode("lines").alias("line")).select(
+            "id", F.xxhash64("line").alias("key")
+        )
+    )
     # (id, line) is distinct per doc, so count(*) per key == doc frequency
     freq = keys.groupBy("key").agg(F.count("*").alias("n"))
     ok = F.broadcast(freq.where(F.col("n") <= max_doc_freq).select("key"))

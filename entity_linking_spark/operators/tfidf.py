@@ -6,9 +6,18 @@ keyword-extraction op a training-data pipeline uses for topic filtering
 and near-duplicate triage.  Smooth idf = ln((N+1)/(df+1)) + 1
 (scikit-learn's convention).
 
-Scale shape: two hash aggregations (tf on (doc, term), df on term) and
-one broadcast of the term→idf table (vocabulary-sized, ≪ corpus); the
-per-doc top-k is the partial-sort window.  No Python anywhere.
+Scale shape: two hash aggregations (tf on (doc, term), df on term, both
+with map-side partial aggregation) joined back on term; the per-doc
+top-k is the partial-sort window.  No Python anywhere.
+
+The tf⋈idf join carries NO broadcast hint: on a web-scale corpus the
+distinct-term table is billions of rows (hapax URLs/typos/numbers — not
+"vocabulary-sized"), and a forced broadcast OOMs the driver where a
+plain shuffle join is fine (VERDICT r02 finding #2).  The planner/AQE
+still broadcasts automatically whenever the measured idf side fits
+under spark.sql.autoBroadcastJoinThreshold — the right call at both
+scales, made from stats instead of a hint.  scripts/explain_audit.py
+asserts the partial aggregations and the absence of a join hint.
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ def tfidf_top_terms(
     idf = dfreq.withColumn(
         "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
     )
-    scored = tf.join(F.broadcast(idf), "term").withColumn(
+    scored = tf.join(idf, "term").withColumn(
         "tfidf", F.col("tf") * F.col("idf")
     )
     return top_k_per_group(

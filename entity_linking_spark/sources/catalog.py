@@ -126,25 +126,49 @@ class Catalog:
         in the same resumable stage tables the batch pipeline reads
         (engine addition — the reference is pure batch, SURVEY §2.8).
 
+        IDEMPOTENT under foreachBatch's at-least-once replay (ADVICE r02):
+        the micro-batch lands at batch-id-DETERMINISTIC file names — the
+        batch is written to a scratch dir, then its part files are moved
+        to ``b{batch_id}-NNNNN.parquet`` after any files from a previous
+        attempt of the SAME batch id are removed.  A stream that dies at
+        any point (mid-move, after the data landed but before the
+        checkpoint committed, …) re-delivers the batch on restart, and
+        the replay converges to exactly one copy — a plain
+        ``mode("append")`` would duplicate the rows.  Per-batch row
+        counts live in the manifest (``batches``), so the stage row count
+        is replay-proof too (sum over batch ids, not a running add).
+
         Each batch costs one write + one count over the PERSISTED batch
         (no source re-read); the snapshot id records the micro-batch id,
         and `complete` stays true after every batch so a killed stream
         resumes from both the stream checkpoint AND a readable stage."""
+        import glob
+        import shutil
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
+            path = self._path(name)
+            os.makedirs(path, exist_ok=True)
+            scratch = path + f".__b{batch_id}.inprogress"
             batch_df.persist()
             try:
-                batch_df.write.mode("append").parquet(self._path(name))
+                batch_df.write.mode("overwrite").parquet(scratch)
                 n = batch_df.count()
+                for old in glob.glob(os.path.join(path, f"b{batch_id}-*.parquet")):
+                    os.remove(old)
+                parts = sorted(glob.glob(os.path.join(scratch, "part-*")))
+                for i, p in enumerate(parts):
+                    os.replace(p, os.path.join(path, f"b{batch_id}-{i:05d}.parquet"))
             finally:
                 batch_df.unpersist()
+                shutil.rmtree(scratch, ignore_errors=True)
             m = self._manifest()
             entry = m.get(name) or {
-                "rows": 0,
                 "schema": batch_df.schema.simpleString(),
                 "complete": True,
             }
-            entry["rows"] = (entry.get("rows") or 0) + n
+            batches = entry.setdefault("batches", {})
+            batches[str(batch_id)] = n
+            entry["rows"] = sum(batches.values())
             entry["snapshot_id"] = f"{name}-b{batch_id}"
             entry["complete"] = True
             m[name] = entry

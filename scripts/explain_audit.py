@@ -34,11 +34,35 @@ def _bucket_exchanges_carry_no_embeddings(plan: str) -> bool:
     return bool(inputs) and all("emb" not in cols for cols in inputs)
 
 
+def _bucket_keys_are_bigint(plan: str) -> bool:
+    """Every bkey attribute is a bigint (#NNNL) — the xxhash64-folded
+    compact key, not the r02 concat_ws string (VERDICT r02 finding #5):
+    the bucket exchange ships two fixed-width longs per row."""
+    refs = re.findall(r"bkey#\d+(L?)", plan)
+    return bool(refs) and all(suffix == "L" for suffix in refs)
+
+
+def _no_forced_broadcast(plan: str) -> bool:
+    """The optimized logical plan carries no broadcast join hint — the
+    planner (or AQE at runtime) picks the join strategy from measured
+    sizes instead (VERDICT r02 finding #2: a forced vocabulary broadcast
+    OOMs at web scale where a shuffle join is fine)."""
+    return "strategy=broadcast" not in plan
+
+
 # query -> list of (description, regex-or-callable that must hold on the plan)
 CHECKS = {
     "ann_lsh_topk": [
         ("bucket-key exchanges carry ids only, never embeddings",
          _bucket_exchanges_carry_no_embeddings),
+        ("bucket keys are compact bigints, not strings",
+         _bucket_keys_are_bigint),
+    ],
+    "tfidf_top_terms": [
+        ("map-side partial aggregation on the tf/df shuffles", r"partial_count"),
+        ("no forced broadcast hint on the idf join (planner/AQE decides)",
+         _no_forced_broadcast),
+        ("whole-stage codegen spans", r"codegen id : \d"),
     ],
     "denormalize_join": [
         ("broadcast hash joins for both dims", r"BroadcastHashJoin"),
@@ -109,8 +133,11 @@ def main() -> int:
         df = queries[name](spark, SF_DIR)
         # simple plan string for strategies/pushdown + formatted explain for
         # codegen-span ids (AQE hides codegen markers in the simple string)
+        # + optimized logical plan, where join HINTS survive as
+        # leftHint/rightHint(strategy=...) so hint-absence is checkable
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan += "\n" + df._jdf.queryExecution().explainString(formatted)
+        plan += "\n" + df._jdf.queryExecution().optimizedPlan().toString()
         lines.append(f"## {name}")
         for desc, pattern in checks:
             ok = pattern(plan) if callable(pattern) else re.search(pattern, plan) is not None

@@ -123,3 +123,54 @@ def test_ivf_topk_recall(spark, vec_df):
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits / len(exact) >= 0.9
+
+
+def test_ivf_quantizer_deterministic_under_partitioning(spark):
+    """The coarse-quantizer sample is order-deterministic (VERDICT r02
+    finding #3): orderBy(xxhash64(id)) + limit compiles to a distributed
+    partial top-k, so the SAME sample (hence identical centroids) comes
+    back under any partitioning / input order — the sandbox proxy for
+    two cluster sizes, where the old bare ``limit`` took whichever
+    partitions answered first."""
+    from entity_linking_spark.operators.ann import _fit_quantizer
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) + 0.5 for j in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = _fit_quantizer(df.repartition(1), "vec_id", 8, 50, 5)
+    c2 = _fit_quantizer(df.repartition(13), "vec_id", 8, 50, 5)
+    c3 = _fit_quantizer(df.orderBy(F.desc("vec_id")).repartition(5), "vec_id", 8, 50, 5)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(c1, c3)
+
+
+def test_pack_side_drops_null_embeddings(spark):
+    """Rows with NULL embeddings are filtered at pack time — they cannot
+    be bucketed or scored (ADVICE r02: they used to crash the packed
+    batch decode with an opaque TypeError)."""
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.operators.ann import lsh_topk
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with_null = df.unionByName(
+        spark.createDataFrame([(99, None)], "vec_id long, embedding array<float>")
+    )
+    q = with_null.select((F.col("vec_id") + 100).alias("query_id"), "embedding")
+    c = with_null.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    with cache_scope():
+        got = lsh_topk(q, c, dim=4, k=1).collect()
+    ids = {r["query_id"] for r in got} | {r["corpus_id"] for r in got}
+    assert 199 not in ids and 99 not in ids
+    assert len(got) > 0
+
+
+def test_packed_to_matrix_rejects_null_with_clear_error():
+    import pandas as pd
+
+    from entity_linking_spark.functions.vector import _packed_to_matrix
+
+    s = pd.Series([np.asarray([1.0, 2.0], dtype="<f4").tobytes(), None])
+    with pytest.raises(ValueError, match="NULL"):
+        _packed_to_matrix(s)

@@ -92,3 +92,27 @@ def test_iceberg_branch_forwards_partition_by_and_counts_rows(spark, tmp_path):
     assert rec["partitioned_by"] == 1
     assert rec["created"] is True
     assert cat._manifest()["ice_stage"]["rows"] == 10
+
+
+def test_foreach_batch_sink_idempotent_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed (batch_df, batch_id)
+    must not duplicate rows or inflate the manifest count (ADVICE r02 —
+    the old mode("append") sink did both).  Batch files land at
+    batch-id-deterministic names, so the replay overwrites itself."""
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    sink = cat.foreach_batch_sink("s")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    sink(df, 0)
+    sink(df, 0)  # restart replays the uncommitted batch
+    assert cat.read("s").count() == 2
+    assert cat._manifest()["s"]["rows"] == 2
+
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    assert sorted(r["id"] for r in cat.read("s").collect()) == [1, 2, 3]
+    assert cat._manifest()["s"]["rows"] == 3
+    assert cat._manifest()["s"]["snapshot_id"] == "s-b1"
+
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)  # replay again
+    assert cat.read("s").count() == 3
+    assert cat._manifest()["s"]["rows"] == 3

@@ -103,3 +103,31 @@ def test_rolling_fingerprint_portable_arithmetic(spark):
     df = spark.createDataFrame([(s,) for s in samples], "t string")
     got = [r["f"] for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
     assert got == [oracle(s) for s in samples]
+
+
+def test_simhash_reduce_chunking_parity():
+    """The chunked batch reduction (ADVICE r02: bound the transient bit
+    matrix) is bit-identical to the unchunked path and the scalar
+    reference at any chunk size, including caps smaller than single
+    rows."""
+    import numpy as np
+
+    from entity_linking_spark.functions.hashing import (
+        _simhash_fp_scalar,
+        _simhash_reduce_batch,
+    )
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    rows = [
+        rng.randint(-(2**62), 2**62, size=n).tolist()
+        for n in [0, 1, 3, 17, 64, 200, 5, 0, 33]
+    ]
+    rows[3] = None  # null row
+    s = pd.Series(rows, dtype=object)
+    full = _simhash_reduce_batch(s, max_chunk_tokens=10**9)
+    for cap in (1, 2, 16, 100, 10**9):
+        got = _simhash_reduce_batch(s, max_chunk_tokens=cap)
+        assert got.tolist() == full.tolist(), cap
+    expect = [_simhash_fp_scalar(r) for r in rows]
+    assert full.tolist() == expect

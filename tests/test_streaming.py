@@ -177,3 +177,74 @@ def test_stream_to_catalog_stage(spark, tmp_path):
     assert cat._manifest()["events_stage"]["rows"] == 3
     got = sorted(r["event_id"] for r in cat.read("events_stage").collect())
     assert got == [1, 2, 3]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the sessionize update
+    function: an availableNow drain never fires processing-time timeouts,
+    so the hasTimedOut branch is unreachable end-to-end in tests
+    (VERDICT r02 item #8)."""
+
+    def __init__(self, tup=None, timed_out=False):
+        self._t = tup
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        if self._t is None:
+            raise ValueError("state does not exist")
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+    def remove(self):
+        self._t = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_sessionize_timeout_flushes_open_session():
+    import pandas as pd
+
+    from entity_linking_spark.streaming.events import _make_session_fn
+
+    fn = _make_session_fn(1800.0, flush_on_timeout=True)
+    st = _FakeGroupState((100.0, 500.0, 3, 7.5), timed_out=True)
+    [out] = list(fn(("u1",), iter([]), st))
+    assert st.removed  # open-session state cleared on flush
+    assert out["session_key"].tolist() == ["u1"]
+    assert out["session_start"].iloc[0] == pd.Timestamp(100.0, unit="s")
+    assert out["session_end"].iloc[0] == pd.Timestamp(500.0, unit="s")
+    assert out["n_events"].tolist() == [3]
+    assert out["sum_value"].tolist() == [7.5]
+
+
+def test_sessionize_data_batch_arms_timeout():
+    import pandas as pd
+
+    from entity_linking_spark.streaming.events import _make_session_fn
+
+    fn = _make_session_fn(1800.0, flush_on_timeout=True)
+    st = _FakeGroupState()
+    rows = pd.DataFrame(
+        {"ts": [pd.Timestamp(10.0, unit="s"), pd.Timestamp(20.0, unit="s")],
+         "value": [1.0, 2.0]}
+    )
+    assert list(fn(("u1",), iter([rows]), st)) == []  # session still open
+    assert st.timeout_ms == 1800 * 1000  # gap armed as the flush timeout
+    start, last, n, sv = st.get
+    assert (start, last, n, sv) == (10.0, 20.0, 2, 3.0)
+    # without flush_on_timeout no timeout is armed (availableNow-safe)
+    fn2 = _make_session_fn(1800.0, flush_on_timeout=False)
+    st2 = _FakeGroupState()
+    list(fn2(("u1",), iter([rows.copy()]), st2))
+    assert st2.timeout_ms is None

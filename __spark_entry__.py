@@ -622,6 +622,44 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal tar-archive ingest (sources/archive.py:read_tar_members —
+    the reference untars dataset archives, src/eval_zeshel_gcp.py:86-89).
+    Full-construction oracle: the archive is built deterministically from
+    the first 50 documents (member docs/doc_{id:06d} holds the UTF-8
+    text), so member sizes and md5 digests are SQL-expressible from the
+    source table (octet_length/md5 of the text)."""
+    import os
+    import tarfile
+    import tempfile
+
+    from entity_linking_spark.sources.archive import read_tar_members
+
+    rows = sorted(
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"el_tar_query_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(tdir, exist_ok=True)
+    tar_path = os.path.join(tdir, "corpus.tar.gz")
+    import io
+
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for r in rows:
+            data = r["text"].encode("utf-8")
+            info = tarfile.TarInfo(name=f"docs/doc_{r['doc_id']:06d}")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    out = read_tar_members(spark, tar_path)
+    return out.select("path", "size", F.md5("content").alias("md5"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming rollup)."""
     ev = _t(spark, sf_dir, "events")
@@ -687,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "json_extract": q_json_extract,
+        "tar_members": q_tar_members,
         "events_hourly": q_events_hourly,
     }
 
@@ -1122,6 +1161,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 4) AS avg_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "tar_members": """
+            -- member docs/doc_{id:06d} carries the UTF-8 text verbatim,
+            -- so size/md5 are derivable from the source table
+            SELECT 'docs/doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS size,
+                   md5(text) AS md5
+            FROM documents WHERE doc_id < 50
         """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -391,12 +391,16 @@ def run_scaling() -> dict:
                    PYSPARK_PYTHON=sys.executable,
                    PYSPARK_DRIVER_PYTHON=sys.executable)
         if os.path.exists(spark_submit):
-            # --driver-memory must be a submit arg: the builder conf is
-            # ignored once spark-submit has already launched the JVM.
+            # --driver-memory / --driver-java-options must be submit args:
+            # builder confs are ignored once spark-submit has already
+            # launched the JVM.  SPARK_GRAFT_JAVA_OPTS carries JVM-launch
+            # options (GC choice) from scaling experiments.
             cmd = [spark_submit, "--master", f"local[{cores}]",
-                   "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-                   "--py-files", pyfiles,
-                   os.path.abspath(__file__), "--probe"]
+                   "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")]
+            java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+            if java_opts:
+                cmd += ["--driver-java-options", java_opts]
+            cmd += ["--py-files", pyfiles, os.path.abspath(__file__), "--probe"]
         else:
             cmd = [sys.executable, os.path.abspath(__file__), "--probe"]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)

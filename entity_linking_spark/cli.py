@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--entities", type=int, default=300)
     gen.add_argument("--seed", type=int, default=42)
 
+    ins = sub.add_parser(
+        "inspect",
+        help="inspect a stage catalog: stages, snapshot ids, row counts, "
+             "per-partition lineage (reference inspect_checkpoint.py analogue)",
+    )
+    ins.add_argument("--workdir", required=True, help="catalog root")
+    ins.add_argument("--stage", default=None,
+                     help="also print this stage's per-partition lineage metrics")
+
     rep = sub.add_parser(
         "report",
         help="render the retrieval-rate table (reference generate_plots.py analogue)",
@@ -62,6 +71,31 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "inspect":
+        # manifest + metrics are driver-readable artifacts (JSON +
+        # parquet) — no SparkSession needed, mirroring the reference's
+        # standalone inspect_checkpoint.py dev tool
+        import os
+
+        manifest_path = os.path.join(args.workdir, "_manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        out = {"workdir": args.workdir, "stages": manifest}
+        if args.stage:
+            import pandas as pd
+
+            mdir = os.path.join(args.workdir, "_metrics", args.stage)
+            if os.path.isdir(mdir):
+                pdf = pd.read_parquet(mdir).sort_values("partition_id")
+                out["lineage"] = pdf.to_dict(orient="records")
+            else:
+                out["lineage"] = None
+        print(json.dumps(out, indent=2, sort_keys=True, default=str))
+        return 0
+
     # Import inside main so spark-submit ships the zip before first use.
     from pyspark.sql import SparkSession
 

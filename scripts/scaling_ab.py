@@ -43,6 +43,9 @@ VARIANTS: dict[str, dict[str, str]] = {
         "SPARK_GRAFT_EXTRA_CONF":
             "spark.sql.execution.arrow.maxRecordsPerBatch=100000",
     },
+    "spill_nocomp": {
+        "SPARK_GRAFT_EXTRA_CONF": "spark.shuffle.spill.compress=false",
+    },
 }
 
 

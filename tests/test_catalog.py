@@ -116,3 +116,25 @@ def test_foreach_batch_sink_idempotent_replay(spark, tmp_path):
     sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)  # replay again
     assert cat.read("s").count() == 3
     assert cat._manifest()["s"]["rows"] == 3
+
+
+def test_cli_inspect_reads_manifest_and_lineage(spark, tmp_path, capsys):
+    """cli.py inspect (reference inspect_checkpoint.py analogue) prints
+    the manifest and a stage's per-partition lineage without needing a
+    SparkSession of its own."""
+    import json
+
+    from entity_linking_spark.cli import main as cli_main
+
+    cat = Catalog(spark, str(tmp_path / "wd"))
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    cat.write("stage_a", df)
+
+    rc = cli_main(["inspect", "--workdir", str(tmp_path / "wd"), "--stage", "stage_a"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["stages"]["stage_a"]["rows"] == 100
+    assert out["stages"]["stage_a"]["complete"] is True
+    lineage = out["lineage"]
+    assert lineage and sum(r["rows"] for r in lineage) == 100
+    assert all(r["stage"] == "stage_a" for r in lineage)

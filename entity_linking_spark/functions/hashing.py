@@ -88,6 +88,53 @@ def minhash_signature(tokens: Column | str, num_hashes: int = 64, seed: int = 42
     )
 
 
+def minhash_signature_with_size(
+    tokens: Column | str, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """struct(sig: array<bigint>, n: int) — the MinHash signature AND the
+    token-set cardinality from ONE evaluation of the token expression.
+
+    Callers that need both (minhash_lsh_pairs' Jaccard size-bound
+    prefilter) must not write ``minhash_signature(expr), F.size(expr)``
+    as two projection columns: higher-order-function trees are
+    CodegenFallback, so subexpression elimination never merges the two
+    copies of ``expr`` and the (expensive — normalize/split/shingle/
+    distinct) token computation runs twice per row (measured 6.6 s →
+    12.5 s on the sf0.1 document scan).  Here the signature aggregate
+    threads a counter through its accumulator, so cardinality is free.
+    """
+    t = _c(tokens)
+    mask = MASK_31
+    bases = F.transform(
+        t,
+        lambda tok: F.struct(
+            F.xxhash64(tok).bitwiseAND(F.lit(mask)).alias("h1"),
+            F.xxhash64(F.lit(seed), tok).bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(1)).alias("h2"),
+        ),
+    )
+    per_token = F.transform(
+        bases,
+        lambda b: F.array(
+            *[
+                (b["h1"] + F.lit(i) * b["h2"]).bitwiseAND(F.lit(mask))
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    init = F.struct(
+        F.array(*[F.lit(MAX_LONG).cast("long") for _ in range(num_hashes)]).alias("sig"),
+        F.lit(0).alias("n"),
+    )
+    return F.aggregate(
+        per_token,
+        init,
+        lambda acc, x: F.struct(
+            F.zip_with(acc["sig"], x, lambda p, q: F.least(p, q)).alias("sig"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        ),
+    )
+
+
 def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
     """Array of band keys 'b{i}:{hash(band slice)}' for LSH bucketing.
 

@@ -42,6 +42,25 @@ from entity_linking_spark.functions.hashing import (
 from entity_linking_spark.functions.text import normalize_text, words
 
 
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Small-input guard for CPU-heavy signature scans.
+
+    File-source splits are sized by BYTES (maxPartitionBytes), so a small
+    parquet file arrives as one split even though the per-row work
+    (normalize → tokenize → shingle → hash family) is compute-bound — the
+    scan then serializes on one core (measured: the sf0.1 document corpus
+    is a single split; the signature scan used 1 of 32 cores).  When the
+    input has fewer partitions than the session's parallelism,
+    repartition it first: the added exchange moves each raw row once,
+    which is trivially cheap at exactly the scale where the guard fires.
+    At web scale inputs carry ≥ parallelism splits and this is a no-op.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the min-id row per exact text; adds dup_count."""
     hashed = df.withColumn("__h", F.md5(F.col(text_col)))
@@ -111,18 +130,23 @@ def ngram_jaccard_pairs(
         toks = char_ngrams(normalize_text(F.col(text_col)), n=n, distinct=False)
     else:
         raise ValueError(f"tokenizer must be 'char' or 'word', got {tokenizer!r}")
-    norm = df.select(
+    norm = _parallelize_scan(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(toks).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
+    )
 
     # consumed by candidate gen + both sides of the intersection join
     exploded = track(norm.select("id", F.explode("grams").alias("key")))
     cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
 
     # size prefilter: attach gram counts to the (cheap, two-long) candidate
-    # rows and drop ratio-infeasible pairs BEFORE the exploded intersection
-    sizes = norm.select("id", "n_grams")
+    # rows and drop ratio-infeasible pairs BEFORE the exploded intersection.
+    # Counts come from the already-persisted exploded stream (grams are
+    # distinct per doc, so count(*) per id == |gram set|) — recomputing
+    # them from the text would run the tokenize/distinct scan a second
+    # time (HOF trees get no subexpression elimination; see
+    # minhash_signature_with_size).
+    sizes = exploded.groupBy("id").agg(F.count("*").alias("n_grams"))
     cand = (
         cand.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
@@ -173,19 +197,24 @@ def minhash_lsh_pairs(
     luck).  VERDICT r02 finding #6.
     """
     rows_per_band = num_hashes // bands
-    from entity_linking_spark.functions.hashing import word_shingles
+    from entity_linking_spark.functions.hashing import (
+        minhash_signature_with_size,
+        word_shingles,
+    )
 
     from entity_linking_spark.operators._cache import track
 
     shingle_set = F.array_distinct(
         word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)
     )
+    # fused sig+cardinality: one evaluation of the (expensive) shingle
+    # expression per row — two projection columns would compute it twice
+    # (no subexpression elimination across HOF trees; measured 2× scan)
+    sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes)
     sigs = track(
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(shingle_set, num_hashes=num_hashes).alias("sig"),
-            F.size(shingle_set).alias("n_sh"),
-        )
+        _parallelize_scan(df)
+        .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
+        .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
     )
     sigs.count()  # eager: consumed by band keys + both verification joins
     keys = sigs.select(
@@ -235,7 +264,7 @@ def simhash_pairs(
     from entity_linking_spark.operators._cache import track
 
     fp = track(
-        df.select(
+        _parallelize_scan(df).select(
             F.col(id_col).alias("id"),
             simhash64(words(normalize_text(F.col(text_col)))).alias("fp"),
         )
@@ -279,9 +308,9 @@ def _doc_lines(
             lambda l: F.length(l) >= min_line_chars,
         )
     )
-    return df.select(F.col(id_col).alias("id"), lines.alias("lines")).withColumn(
-        "n_lines", F.size("lines")
-    )
+    return _parallelize_scan(df).select(
+        F.col(id_col).alias("id"), lines.alias("lines")
+    ).withColumn("n_lines", F.size("lines"))
 
 
 def line_dedup_pairs(
@@ -327,7 +356,10 @@ def line_dedup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared_lines)
     )
-    sizes = docs.select("id", "n_lines")
+    # line counts from the persisted key stream (lines are distinct per
+    # doc, so count(*) per id == n_lines) — docs.select("n_lines") would
+    # re-run the split/normalize text scan
+    sizes = keys.groupBy("id").agg(F.count("*").alias("n_lines"))
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_lines": "na"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_lines": "nb"}), "id_b")

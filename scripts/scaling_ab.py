@@ -9,6 +9,10 @@ must be set before the JVM starts, so it cannot be a builder conf).
 Usage:
     python scripts/scaling_ab.py             # all variants at 32 cores
     python scripts/scaling_ab.py --full      # winner-check at 8+32 cores
+    python scripts/scaling_ab.py --variants baseline,spill_nocomp --reps 2
+        # confirm mode: interleaved repeats (b, s, b, s) so slow box-load
+        # drift hits both arms equally — the decisive test for a variant
+        # that won a single sweep
     SPARK_GRAFT_SCALE_PAGES=12000 python scripts/scaling_ab.py   # faster
 
 Interpreting: the box's run-to-run variance is large (same plan has
@@ -71,8 +75,30 @@ def run_probe(cores: int, extra_env: dict[str, str]) -> dict:
 def main() -> None:
     full = "--full" in sys.argv
     cores_list = (8, 32) if full else (32,)
+    names = list(VARIANTS)
+    reps = 1
+    if "--variants" in sys.argv:
+        names = sys.argv[sys.argv.index("--variants") + 1].split(",")
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
     results: dict[str, dict[int, dict]] = {}
-    for name, extra in VARIANTS.items():
+    if reps > 1:
+        # interleaved confirm mode: round-robin the variants so any
+        # monotonic box-load drift is shared across arms
+        runs: dict[str, list[float]] = {n: [] for n in names}
+        for rep in range(reps):
+            for name in names:
+                r = run_probe(32, VARIANTS[name])
+                runs[name].append(r["pairs_per_sec"])
+                print(f"rep{rep} {name:>12}: {r['pairs_per_sec']:>9} pairs/s "
+                      f"({r['wall_sec']}s)", flush=True)
+        for name, vals in runs.items():
+            mean = sum(vals) / len(vals)
+            print(f"{name:>12}: mean {mean:.1f}  runs {vals}")
+        print(json.dumps(runs))
+        return
+    for name in names:
+        extra = VARIANTS[name]
         results[name] = {}
         for cores in cores_list:
             r = run_probe(cores, extra)

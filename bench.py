@@ -347,19 +347,29 @@ def run_probe(cores: int) -> dict:
     # Warm-up pass: the first execution of each plan pays JVM JIT, Python
     # worker spawn (≥1s × cores of imports), codegen compilation, and
     # broadcast builds — fixed costs that amortize to zero on long-running
-    # production jobs.  The probe measures the steady-state second pass.
+    # production jobs.  The probe then times THREE steady-state passes
+    # and reports the median: this box's run-to-run variance on an
+    # identical warm plan is ±40% (shared-host effects invisible to local
+    # load), which a single pass turns into efficiency-ratio noise —
+    # measured same-conf swings of 270k-466k pairs/s within one hour.
     n_w, scored_w = el_score_path(spark, fixture)
     scored_w.unpersist()
     spark.catalog.clearCache()
 
-    t0 = time.time()
-    n_pairs, scored = el_score_path(spark, fixture)
-    wall = time.time() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        n_pairs, scored = el_score_path(spark, fixture)
+        walls.append(round(time.time() - t0, 3))
+        if _ < 2:
+            scored.unpersist()
+            spark.catalog.clearCache()
+    wall = sorted(walls)[1]
     t1 = time.time()
     n_nodes = el_cluster_path(spark, scored)
     cluster_wall = time.time() - t1
     spark.stop()
-    return {"cores": cores, "wall_sec": round(wall, 3),
+    return {"cores": cores, "wall_sec": wall, "walls_all": walls,
             "pairs": n_pairs, "pairs_per_sec": round(n_pairs / wall, 1),
             "cluster_wall_sec": round(cluster_wall, 3), "cc_nodes": n_nodes}
 
@@ -430,12 +440,16 @@ def run_scaling() -> dict:
             "prepare + blocking + pairwise scoring (candidate-pairs scored/sec,\n"
             "the north-rule throughput metric), steady state (a full warm-up\n"
             "pass amortizes JIT/worker-spawn/codegen, as on long production\n"
-            "jobs).\n\n"
+            "jobs).  Each probe times three steady-state passes and reports\n"
+            "the MEDIAN — this shared box swings ±40% run-to-run on an\n"
+            "identical warm plan, which a single pass turns into\n"
+            "efficiency-ratio noise (all three walls are in the per-probe\n"
+            "JSON below).\n\n"
             "## Job-level (single box, shared DRAM + shuffle)\n\n"
-            "| parallelism | wall sec | scored pairs | pairs/sec | CC wall (secondary) |\n"
-            "|---|---|---|---|---|\n"
-            f"| local[8] | {results[8]['wall_sec']} | {results[8]['pairs']} | {r8} | {results[8]['cluster_wall_sec']} |\n"
-            f"| local[32] | {results[32]['wall_sec']} | {results[32]['pairs']} | {r32} | {results[32]['cluster_wall_sec']} |\n\n"
+            "| parallelism | median wall sec | all 3 walls | scored pairs | pairs/sec | CC wall (secondary) |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| local[8] | {results[8]['wall_sec']} | {results[8].get('walls_all')} | {results[8]['pairs']} | {r8} | {results[8]['cluster_wall_sec']} |\n"
+            f"| local[32] | {results[32]['wall_sec']} | {results[32].get('walls_all')} | {results[32]['pairs']} | {r32} | {results[32]['cluster_wall_sec']} |\n\n"
             f"**Job-level scaling efficiency (8→32 cores) = r32 / (4·r8) = {eff}**\n\n"
             "## Scoring-kernel (multiprocessing, no shared JVM/shuffle)\n\n"
             "| parallelism | wall sec | pairs | pairs/sec |\n"
@@ -457,16 +471,27 @@ def run_scaling() -> dict:
             "the ≥0.8 bar.  Round-over-round the job-level number has been\n"
             "pushed upward by removing non-scaling work from the hot path:\n"
             "r1 ~0.23 → 0.31 (binary-packed embeddings, broadcast-indexed\n"
-            "scoring, integer surrogate ids, fused Arrow UDF); r2 → the\n"
-            "number above, via xxhash64-compacted blocking keys (two-long\n"
-            "shuffle rows) + 8 MiB AQE advisory partitions (the 64 MiB\n"
-            "default coalesced the 32-core scoring stage below 32 tasks —\n"
-            "measured ~40% throughput loss).  Also tried and rejected:\n"
-            "shuffle compression off on tmpfs (+40% on this large probe but\n"
-            "20-30% SLOWER on bench-scale shuffles — lz4's byte savings\n"
-            "still relieve the shared memory bus; see session.py).  The\n"
-            "residual gap is the shared-box shuffle/DRAM ceiling, which a\n"
-            "real 4N-executor cluster does not share.\n\n"
+            "scoring, integer surrogate ids, fused Arrow UDF); r2 → 0.528,\n"
+            "via xxhash64-compacted blocking keys (two-long shuffle rows) +\n"
+            "8 MiB AQE advisory partitions (the 64 MiB default coalesced\n"
+            "the 32-core scoring stage below 32 tasks — measured ~40%\n"
+            "throughput loss); r3 → the number above, via SPILL compression\n"
+            "off on tmpfs local dirs (spill blocks on /dev/shm live in RAM;\n"
+            "lz4-ing them burns shared CPU to save memory the box has —\n"
+            "won every interleaved A/B across three sessions, +8% to +73%,\n"
+            "and removed a large variance source; session.py gates it on\n"
+            "the local dir actually being tmpfs).  Fresh-JVM A/B sweeps of\n"
+            "the r2 phase diagnosis (scripts/scaling_ab.py) also tried and\n"
+            "REJECTED: ParallelGC (+69% in one sweep, -16% in the\n"
+            "interleaved confirm — box-load noise, not signal); 16 GiB\n"
+            "off-heap memory (+32% once, regressed combined with PGC);\n"
+            "100k-row Arrow batches (within noise); SHUFFLE-output\n"
+            "compression off on tmpfs (+40% on this large probe but 20-30%\n"
+            "SLOWER on bench-scale shuffles — lz4's byte savings still\n"
+            "relieve the shared memory bus; see session.py).  Idx-only\n"
+            "scoring (r2): ~2.4× slower, kept rejected.  The residual gap\n"
+            "is the shared-box shuffle/DRAM ceiling, which a real\n"
+            "4N-executor cluster does not share.\n\n"
             "The clustering stage is reported separately: large-star/small-star\n"
             "CC is fixpoint-iterative — at this fixture scale its wall is\n"
             "dominated by a fixed number of rounds (shuffle barriers), not by\n"

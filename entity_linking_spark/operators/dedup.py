@@ -23,6 +23,17 @@ sf0.1 document corpus: word-token candidates at t=0.9 drop 12.50M →
 candidates at t=0.8 drop 14.1k → 4.7k (33.5%).  At 10^12 docs the
 pruned 70% is the dominant cost term of the verification stage.
 
+Exact-Jaccard candidate GENERATION is prefix-filtered
+(AllPairs/PPJoin — see ``ngram_jaccard_pairs``), provably
+result-identical.  Honest measurement note: on the sf0.1 synthetic
+corpus the prefix cut is only 12.50M → 11.32M because the fixture's
+template vocabulary is tiny — nearly every doc pair shares a token
+(the any-token candidate set IS all C(5000,2) pairs) and 965k pairs
+are true matches at t=0.9, so no candidate filter has room to work.
+On natural web text (Zipfian vocabulary, rare tokens actually rare)
+prefix filtering is the published sub-quadratic shape; the parity
+tests pin result-identity either way.
+
 Each returns either pair edges (for clustering) or a keep/drop assignment
 (representative = min id, consistent with cluster.py's min convention).
 """
@@ -102,24 +113,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_bucket: int = 10_000,
     tokenizer: str = "char",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
-    Candidates: docs sharing any token (bounded buckets — the quadratic
-    blowup guard in ``_pair_candidates_by_key`` drops hot tokens like
-    "the"); verification: |A∩B| via an explode-join-count,
-    |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
+    Candidates: prefix-filtered token collisions (AllPairs/PPJoin):
+    order every doc's tokens by global document frequency (rarest
+    first, ties by token) and index only the first
+    ``|d| - ceil(t·|d|) + 1`` of them.  If J(A,B) ≥ t, the two docs
+    share ≥ max(|A|,|B|) - (|A∪B| - min...) — concretely, fewer than
+    that many tokens can differ, so A and B must collide on at least
+    one PREFIX token under any single global token order (the standard
+    prefix-filtering guarantee).  Candidate volume drops from
+    "any shared token" (quadratic in every hot token's posting list) to
+    "shared RARE token", which is the published sub-quadratic shape for
+    set-similarity self-joins at corpus scale.  ``prefix_filter=False``
+    restores the any-shared-token candidates (used by the brute-force
+    parity tests to cross-check the filter costs no recall).
+
+    Verification: |A∩B| via an explode-join-count over the FULL token
+    sets, |A∪B| = |A|+|B|-|A∩B|.  All JVM-side.
 
     Candidates additionally pass the Jaccard size bound BEFORE the
-    exploded intersection join: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
-    pair whose gram-count ratio is under the threshold cannot reach it —
-    at web scale this kills most any-shared-token false candidates at
-    zero recall cost, removing the dominant cost term (the intersection
-    explode) for them (VERDICT r02 finding #6).
+    exploded intersection join: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+    (VERDICT r02 finding #6).
 
     ``tokenizer``: "char" → character n-grams of the normalized text;
     "word" → whitespace word tokens (n ignored).
     """
+    from pyspark.sql import Window
+
     from entity_linking_spark.operators._cache import track
 
     if tokenizer == "word":
@@ -137,7 +160,30 @@ def ngram_jaccard_pairs(
 
     # consumed by candidate gen + both sides of the intersection join
     exploded = track(norm.select("id", F.explode("grams").alias("key")))
-    cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
+    if prefix_filter:
+        # global document frequency per token — the canonical order that
+        # makes "rarest-first prefix" identical across all docs.  The
+        # freq table is vocabulary-sized: joined (shuffle, AQE may still
+        # broadcast small ones), never force-broadcast (the tfidf lesson,
+        # VERDICT r02 finding #2).
+        freq = exploded.groupBy("key").agg(F.count("*").alias("df_"))
+        n_tok = exploded.groupBy("id").agg(F.count("*").alias("n_"))
+        rn = F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df_"), F.col("key"))
+        )
+        prefix_len = (
+            F.col("n_") - F.ceil(F.lit(threshold) * F.col("n_")) + F.lit(1)
+        )
+        prefix_keys = (
+            exploded.join(freq, "key")
+            .withColumn("rn", rn)
+            .join(n_tok, "id")
+            .where(F.col("rn") <= prefix_len)
+            .select("id", "key")
+        )
+        cand = _pair_candidates_by_key(prefix_keys, max_bucket=max_bucket)
+    else:
+        cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
 
     # size prefilter: attach gram counts to the (cheap, two-long) candidate
     # rows and drop ratio-infeasible pairs BEFORE the exploded intersection.

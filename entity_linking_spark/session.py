@@ -82,13 +82,25 @@ def get_spark(
         try:
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
+            # Spill blocks on tmpfs live in RAM: lz4-ing them burns shared
+            # CPU to save memory this box has plenty of.  Disabling SPILL
+            # compression (only when the local dir is tmpfs) won every
+            # interleaved A/B across three sessions (+8% to +73% probe
+            # throughput, and the no-compress runs are far more stable:
+            # 418-466k pairs/s vs the baseline's 182-441k swing — spill-
+            # codec CPU was a variance source, not just a cost).  Small
+            # jobs never spill, so this is a no-op at bench scale; disk-
+            # backed local dirs (real clusters, I/O-bound spills) keep the
+            # Spark default (on).
+            builder = builder.config("spark.shuffle.spill.compress", "false")
         except OSError:
             pass
-    # Shuffle compression stays at the default (on): turning it off on
-    # tmpfs looked like a win on one large-probe A/B (+40%) but reliably
-    # LOSES 20-30% on smaller shuffles (bench fixture scale) — lz4 bytes
-    # saved still matter to the shared memory bus; revisit per-workload
-    # via SPARK_GRAFT_EXTRA_CONF rather than a global default.
+    # SHUFFLE-output compression stays at the default (on) everywhere:
+    # turning it off on tmpfs looked like a win on one large-probe A/B
+    # (+40%) but reliably LOSES 20-30% on smaller shuffles (bench fixture
+    # scale) — lz4 bytes saved still matter to the shared memory bus;
+    # revisit per-workload via SPARK_GRAFT_EXTRA_CONF rather than a
+    # global default.
     # Smaller AQE target partitions keep post-coalesce parallelism ≥ the
     # core count on local[N]'s modest shuffle volumes (64 MiB advisory
     # coalesced the 32-core scoring stage below 32 tasks — measured ~40%

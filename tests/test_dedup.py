@@ -59,6 +59,46 @@ def test_ngram_jaccard_pairs_match_bruteforce(spark, docs):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k])
+    # prefix filtering is a pure candidate-generation optimization: the
+    # result set must be IDENTICAL with it off (any-shared-token mode)
+    unfiltered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "id", "text", n=3, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert unfiltered == got
+
+
+def test_ngram_jaccard_prefix_filter_word_tokens(spark):
+    """Prefix-filter recall check on word tokens with many near-threshold
+    pairs (threshold boundary cases stress the ceil() prefix length)."""
+    import itertools
+
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel",
+            "alpha bravo charlie delta echo foxtrot golf india",
+            "alpha bravo charlie delta echo foxtrot juliett kilo",
+            "lima mike november oscar papa quebec romeo sierra",
+            "lima mike november oscar papa quebec romeo tango",
+            "uniform victor whiskey xray yankee zulu alpha bravo"]
+    rows = [(f"w{i:02d}", t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    for thr in (0.5, 0.7, 0.9):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "id", "text", threshold=thr, tokenizer="word"
+            ).collect()
+        }
+        expect = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa, sb = set(ta.split()), set(tb.split())
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= thr:
+                expect[(ia, ib)] = jac
+        assert set(got) == set(expect), f"threshold {thr}"
+        for k in got:
+            assert got[k] == pytest.approx(expect[k])
 
 
 def test_minhash_lsh_finds_near_dups(docs):
@@ -140,3 +180,18 @@ def test_line_dedup_normalizes_lines(spark):
     )
     pairs = line_dedup_pairs(df, "id", "text", min_shared_lines=2, min_line_chars=5).collect()
     assert len(pairs) == 1 and pairs[0]["n_shared"] == 2
+
+
+def test_parallelize_scan_guard(spark):
+    from entity_linking_spark.operators.dedup import _parallelize_scan
+
+    p = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame(DOCS, "id string, text string").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    widened = _parallelize_scan(one)
+    assert widened.rdd.getNumPartitions() == p
+    # rows survive the repartition untouched
+    assert sorted(r["id"] for r in widened.collect()) == sorted(d[0] for d in DOCS)
+    # an input already at >= parallelism partitions passes through as-is
+    wide = one.repartition(p + 4)
+    assert _parallelize_scan(wide) is wide

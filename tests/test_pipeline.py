@@ -83,18 +83,41 @@ def test_resume_skips_complete_stages_and_is_identical(spark, fixture_dfs, resul
     assert a1 == a2
 
 
-def test_determinism_across_runs(spark, fixture_dfs, tmp_path_factory):
+def test_determinism_across_runs(spark, fixture_dfs, tmp_path_factory, result):
+    """North-rule determinism: the SAME input under different input
+    partitioning and a different shuffle-partition count yields an
+    IDENTICAL cluster assignment (not merely an equally-good one) —
+    the sandbox stand-in for run-identical output across cluster
+    layouts."""
+    res1, _ = result
+    a1 = {(r["mention_id"], r["cluster_id"]) for r in res1["assignment"].collect()}
+    s1 = {
+        (r["mention_id"], r["entity_id"], round(r["score"], 9))
+        for r in res1["scored"].collect()
+    }
     pages, mentions, entities, labeled = fixture_dfs
     wd2 = str(tmp_path_factory.mktemp("elwork2"))
-    res2 = link_entities(
-        spark,
-        pages.repartition(13),
-        mentions.repartition(7),
-        entities.repartition(3),
-        PipelineConfig(workdir=wd2),
-        labeled_pairs=labeled,
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try:
+        res2 = link_entities(
+            spark,
+            pages.repartition(13),
+            mentions.repartition(7),
+            entities.repartition(3),
+            PipelineConfig(workdir=wd2),
+            labeled_pairs=labeled,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert res2["metrics"]["labeled"].f1 >= 0.99
+    a2 = {(r["mention_id"], r["cluster_id"]) for r in res2["assignment"].collect()}
+    assert a2 == a1
+    s2 = {
+        (r["mention_id"], r["entity_id"], round(r["score"], 9))
+        for r in res2["scored"].collect()
+    }
+    assert s2 == s1
 
 
 def test_validate_extraction_catches_corruption(spark, fixture_dfs):

@@ -174,6 +174,16 @@ def run_headline(cores: int) -> dict:
         F.sum(_warm_udf(F.col("id").cast("double")))
     ).collect()
 
+    # el_pipeline gets the same warm/cold split as the per-query loop
+    # below: the first pass pays its plans' one-time Catalyst analysis +
+    # codegen inside what used to be the timed region (headline swings of
+    # 33-72 s across sessions were partly this placement, partly box
+    # load); the timed pass rebuilds every DataFrame from scratch.
+    t0 = time.time()
+    el_hot_path(spark, fixture)
+    cold = {"el_pipeline": round(time.time() - t0, 3)}
+    spark.catalog.clearCache()
+    release_cached()
     t0 = time.time()
     n_pairs, n_edges = el_hot_path(spark, fixture)
     timings["el_pipeline"] = round(time.time() - t0, 3)
@@ -231,7 +241,6 @@ def run_headline(cores: int) -> dict:
     # not a cache readback; tracked caches are released between passes so
     # no run inherits the other's persisted intermediates.  The cold
     # first-pass walls are reported alongside as queries_cold.
-    cold: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
         qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -65,6 +65,10 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     repartition it first: the added exchange moves each raw row once,
     which is trivially cheap at exactly the scale where the guard fires.
     At web scale inputs carry ≥ parallelism splits and this is a no-op.
+
+    Callers project to (id, text) BEFORE the guard so the exchange ships
+    exactly the two needed columns, by construction rather than by
+    optimizer-pushed pruning.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
@@ -73,13 +77,24 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the min-id row per exact text; adds dup_count."""
-    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
-    reps = hashed.groupBy("__h").agg(
-        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    """Keep the min-id row per exact text; adds dup_count.
+
+    ONE shuffle (on the md5 hash): both the representative choice
+    (row_number by id) and dup_count are window functions over the same
+    partition key, so they share a single exchange+sort — the previous
+    groupBy-then-rejoin shape paid a second shuffle to re-attach the
+    kept rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h")
+    return (
+        df.drop("dup_count")
+        .withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("dup_count", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
-    return hashed.drop("dup_count").join(reps.select("__h", id_col, "dup_count"),
-                                         ["__h", id_col]).drop("__h")
 
 
 def _pair_candidates_by_key(keys: DataFrame, max_bucket: int = 10_000) -> DataFrame:
@@ -153,7 +168,7 @@ def ngram_jaccard_pairs(
         toks = char_ngrams(normalize_text(F.col(text_col)), n=n, distinct=False)
     else:
         raise ValueError(f"tokenizer must be 'char' or 'word', got {tokenizer!r}")
-    norm = _parallelize_scan(df).select(
+    norm = _parallelize_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(toks).alias("grams"),
     )
@@ -258,7 +273,7 @@ def minhash_lsh_pairs(
     # (no subexpression elimination across HOF trees; measured 2× scan)
     sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes)
     sigs = track(
-        _parallelize_scan(df)
+        _parallelize_scan(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
         .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
     )
@@ -310,7 +325,7 @@ def simhash_pairs(
     from entity_linking_spark.operators._cache import track
 
     fp = track(
-        _parallelize_scan(df).select(
+        _parallelize_scan(df.select(id_col, text_col)).select(
             F.col(id_col).alias("id"),
             simhash64(words(normalize_text(F.col(text_col)))).alias("fp"),
         )
@@ -354,7 +369,7 @@ def _doc_lines(
             lambda l: F.length(l) >= min_line_chars,
         )
     )
-    return _parallelize_scan(df).select(
+    return _parallelize_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), lines.alias("lines")
     ).withColumn("n_lines", F.size("lines"))
 

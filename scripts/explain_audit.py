@@ -84,7 +84,13 @@ CHECKS = {
         ("global top-n, not full sort", r"TakeOrderedAndProject"),
     ],
     "exact_dedup": [
-        ("partial aggregation before shuffle", r"partial_"),
+        ("single-shuffle window dedup: representative + dup_count share "
+         "one md5-keyed exchange, no rejoin",
+         lambda plan: "Window" in plan and "Join" not in plan
+         and plan.count("Exchange hashpartitioning") <= 2),
+        # ≤2: the md5 exchange appears once in the executed plan and once
+        # in the formatted rendering; a reintroduced rejoin would add two
+        # more occurrences (and a Join node, caught above).
     ],
     "token_stats": [
         ("only doc_id+text read",

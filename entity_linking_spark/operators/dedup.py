@@ -47,7 +47,6 @@ from entity_linking_spark.functions.hashing import (
     char_ngrams,
     hamming64,
     lsh_band_keys,
-    minhash_signature,
     simhash64,
 )
 from entity_linking_spark.functions.text import normalize_text, words

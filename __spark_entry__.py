@@ -361,6 +361,43 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (new crawl increment vs kept corpus,
+    operators/dedup.py:incremental_dedup) over a planted construction:
+    the reference is the namespaced-token corpus; the increment carries
+    doc_id < 50 copied verbatim (→ matched, matched_ref_id = doc_id)
+    and 50 ≤ doc_id < 100 with a DISJOINT token namespace (→ novel).
+    Identical texts agree on every MinHash band and disjoint token sets
+    can never collide, so the exact assignment is SQL-expressible."""
+    from entity_linking_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ref_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.format_string("w%08d_%d", F.col("doc_id"), j),
+        ),
+    )
+    novel_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.format_string("v%08d_%d", F.col("doc_id"), j),
+        ),
+    )
+    ref = docs.select(F.col("doc_id").alias("id"), ref_text.alias("text"))
+    new = (
+        docs.where(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.when(F.col("doc_id") < 50, ref_text).otherwise(novel_text).alias("text"),
+        )
+    )
+    out = incremental_dedup(new, ref, "id", "text", shingle_k=2, threshold=0.8)
+    return out.select("id", "is_novel", "matched_ref_id")
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the planted-duplicate corpus — exact
     pair set (i, i+100000, hamming=0) for i < 50."""
@@ -711,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "line_dedup": q_line_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "token_stats": q_token_stats,
@@ -936,6 +974,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
                    CAST(0 AS INTEGER) AS hamming
             FROM documents WHERE doc_id < 50
+        """,
+        "incremental_dedup": """
+            SELECT doc_id + 100000 AS id,
+                   doc_id >= 50 AS is_novel,
+                   CASE WHEN doc_id < 50 THEN doc_id END AS matched_ref_id
+            FROM documents WHERE doc_id < 100
         """,
         "line_dedup": """
             WITH corpus AS (

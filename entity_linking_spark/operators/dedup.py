@@ -15,6 +15,12 @@ Plus SUB-document dedup (``line_dedup_pairs`` / ``boilerplate_lines``):
 repeated boilerplate lines/passages WITHIN documents — the level
 whole-document hashing misses in web-scale training data.
 
+Plus INCREMENTAL dedup (``minhash_lsh_pairs_against`` /
+``incremental_dedup``): near-dup a new crawl increment against the
+already-kept corpus via a bipartite band-bucket join — the production
+shape where re-pairing the historical corpus against itself would be
+wasted quadratic work.
+
 The Jaccard families prune candidates with the size bound
 J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) BEFORE any exploded verification
 join (zero recall cost — the bound is an identity).  Measured on the
@@ -309,6 +315,139 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard_est")
     )
     return est
+
+
+def _bipartite_candidates_by_key(
+    new_keys: DataFrame, ref_keys: DataFrame, max_bucket: int = 10_000
+) -> DataFrame:
+    """(new_id, ref_id) candidate pairs from two (id, key) streams.
+
+    The bipartite analogue of ``_pair_candidates_by_key`` for
+    incremental dedup: only keys present on BOTH sides can produce a
+    pair, and either side's bucket exceeding ``max_bucket`` drops the
+    key (fan-out is |new bucket| × |ref bucket|, so the guard must bind
+    both).  Ids live in separate namespaces — no id_a < id_b ordering."""
+    from entity_linking_spark.operators._cache import track
+
+    new_keys = track(new_keys)
+    ref_keys = track(ref_keys)
+    new_keys.count()
+    ref_keys.count()
+    nf = new_keys.groupBy("key").agg(F.count("*").alias("n_new"))
+    rf = ref_keys.groupBy("key").agg(F.count("*").alias("n_ref"))
+    ok = F.broadcast(
+        nf.join(rf, "key")
+        .where((F.col("n_new") <= max_bucket) & (F.col("n_ref") <= max_bucket))
+        .select("key")
+    )
+    a = new_keys.join(ok, "key").select("key", F.col("id").alias("new_id"))
+    b = ref_keys.join(ok, "key").select("key", F.col("id").alias("ref_id"))
+    return a.join(b, "key").select("new_id", "ref_id").distinct()
+
+
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(new_id, ref_id, jaccard_est): near-dups of NEW docs against an
+    existing REFERENCE corpus — the incremental shape of training-data
+    dedup (dedup today's crawl increment against the corpus already
+    kept) that a self-join operator cannot express without re-pairing
+    the reference against itself.
+
+    Same machinery as ``minhash_lsh_pairs`` (fused signature+size scan,
+    band-bucket join, size-bound prefilter, signature-agreement
+    estimate), but the bucket join is bipartite: reference signatures
+    are computed once per increment and only keys present on both sides
+    join, so the historical corpus is never self-paired.  At production
+    scale the reference signature table is a checkpointed stage table
+    (sources/catalog.py) computed once, not per increment."""
+    rows_per_band = num_hashes // bands
+    from entity_linking_spark.functions.hashing import (
+        minhash_signature_with_size,
+        word_shingles,
+    )
+    from entity_linking_spark.operators._cache import track
+
+    shingle_set = F.array_distinct(
+        word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)
+    )
+    sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes)
+
+    def _sigs(side: DataFrame) -> DataFrame:
+        s = track(
+            _parallelize_scan(side.select(id_col, text_col))
+            .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
+            .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
+        )
+        s.count()  # eager: consumed by band keys + the verification join
+        return s
+
+    sigs_new, sigs_ref = _sigs(new_df), _sigs(ref_df)
+    bkeys = lsh_band_keys("sig", bands, rows_per_band)
+    cand = _bipartite_candidates_by_key(
+        sigs_new.select("id", F.explode(bkeys).alias("key")),
+        sigs_ref.select("id", F.explode(bkeys).alias("key")),
+        max_bucket=max_bucket,
+    )
+    cand = (
+        cand.join(
+            sigs_new.select(F.col("id").alias("new_id"),
+                            F.col("sig").alias("sig_a"),
+                            F.col("n_sh").alias("na")),
+            "new_id",
+        )
+        .join(
+            sigs_ref.select(F.col("id").alias("ref_id"),
+                            F.col("sig").alias("sig_b"),
+                            F.col("n_sh").alias("nb")),
+            "ref_id",
+        )
+        .where(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+    )
+    return (
+        cand.withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                         lambda x: x)
+            )
+            / F.lit(num_hashes),
+        )
+        .where(F.col("jaccard_est") >= threshold)
+        .select("new_id", "ref_id", "jaccard_est")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """(id, is_novel, matched_ref_id) for every NEW doc: novel unless it
+    near-dups a reference doc (matched = min matching ref id, the
+    cluster.py representative convention).  Keyword args flow to
+    ``minhash_lsh_pairs_against``."""
+    pairs = minhash_lsh_pairs_against(new_df, ref_df, id_col, text_col, **kwargs)
+    matches = pairs.groupBy("new_id").agg(F.min("ref_id").alias("matched_ref_id"))
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(matches.withColumnRenamed("new_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("matched_ref_id").isNull().alias("is_novel"),
+            "matched_ref_id",
+        )
+    )
 
 
 def simhash_pairs(

@@ -195,3 +195,37 @@ def test_parallelize_scan_guard(spark):
     # an input already at >= parallelism partitions passes through as-is
     wide = one.repartition(p + 4)
     assert _parallelize_scan(wide) is wide
+
+
+def test_incremental_dedup_against_reference(spark, docs):
+    from entity_linking_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_lsh_pairs_against,
+    )
+
+    new = spark.createDataFrame(
+        [
+            ("n1", "the quick brown fox jumps over the lazy dog"),   # = d01/d02
+            ("n2", "completely novel text about submarine acoustics"),
+        ],
+        "id string, text string",
+    )
+    pairs = {
+        (r["new_id"], r["ref_id"])
+        for r in minhash_lsh_pairs_against(
+            new, docs, "id", "text", shingle_k=2, threshold=0.8
+        ).collect()
+    }
+    assert ("n1", "d01") in pairs and ("n1", "d02") in pairs
+    assert not any(nid == "n2" for nid, _ in pairs)
+    # reference docs are never paired against themselves (bipartite join)
+    assert all(nid.startswith("n") for nid, _ in pairs)
+
+    assign = {
+        r["id"]: (r["is_novel"], r["matched_ref_id"])
+        for r in incremental_dedup(
+            new, docs, "id", "text", shingle_k=2, threshold=0.8
+        ).collect()
+    }
+    assert assign["n1"] == (False, "d01")   # min matching ref id
+    assert assign["n2"] == (True, None)

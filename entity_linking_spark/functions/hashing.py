@@ -135,21 +135,34 @@ def minhash_signature_with_size(
     )
 
 
-def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
-    """Array of band keys 'b{i}:{hash(band slice)}' for LSH bucketing.
+def lsh_band_keys(
+    signature: Column | str, bands: int, rows_per_band: int, compact: bool = False
+) -> Column:
+    """Array of band keys for LSH bucketing.
 
     Two sets collide on band i iff their signature rows [i*r, (i+1)*r) are
     identical — the standard banding amplification of MinHash Jaccard.
+
+    ``compact=False``: human-readable strings 'b{i}:{hash(band slice)}'
+    (the F1-at-shared-key evaluation and stage schemas keep string keys,
+    BlockingConfig.compact_keys).  ``compact=True``: array<bigint> —
+    (band idx, band slice) folded into ONE xxhash64 long, so the bucket
+    exchange ships two fixed-width longs per row instead of a ~25-byte
+    string (the compact_keys / ann.py:136 lesson; VERDICT r03 #2).  A
+    64-bit collision across band indexes merely adds a candidate pair
+    that downstream verification rejects — zero recall cost.
     """
     sig = _c(signature)
+    folded = [
+        F.xxhash64(F.lit(i), F.slice(sig, i * rows_per_band + 1, rows_per_band))
+        for i in range(bands)
+    ]
+    if compact:
+        return F.array(*folded)
     return F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(f"b{i}"),
-                F.xxhash64(F.lit(i), F.slice(sig, i * rows_per_band + 1, rows_per_band)).cast("string"),
-            )
-            for i in range(bands)
+            F.concat_ws(":", F.lit(f"b{i}"), h.cast("string"))
+            for i, h in enumerate(folded)
         ]
     )
 

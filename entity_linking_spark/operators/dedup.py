@@ -74,11 +74,47 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     Callers project to (id, text) BEFORE the guard so the exchange ships
     exactly the two needed columns, by construction rather than by
     optimizer-pushed pruning.
+
+    Split estimation (VERDICT r03 #4 — the old RDD-conversion
+    getNumPartitions probe forced a plan analysis per operator call):
+    ``df.inputFiles()`` lists the scan's files from the already-analyzed
+    plan; byte-sized split count is estimated as Σ ceil(size /
+    maxPartitionBytes) when the files are locally statable, else the file
+    count (a LOWER bound on splits — may repartition a multi-split file
+    unnecessarily, never skips a genuinely starved scan).  A frame with
+    no input files is driver-local (createDataFrame / literal range) and
+    therefore small: repartitioning it is trivially cheap.
     """
+    import math
+    import os
+    from urllib.parse import urlparse
+
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
         return df.repartition(p)
-    return df
+    max_bytes_conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    max_bytes = int("".join(ch for ch in max_bytes_conf if ch.isdigit()) or "134217728")
+    if max_bytes_conf.rstrip("bB").lower().endswith(("k", "m", "g")):
+        max_bytes *= {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
+            max_bytes_conf.rstrip("bB").lower()[-1]
+        ]
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        local = parsed.path if parsed.scheme in ("", "file") else None
+        if local and os.path.exists(local):
+            splits += max(1, math.ceil(os.path.getsize(local) / max_bytes))
+        else:
+            splits += 1  # non-local store: count the file as one split
+        if splits >= p:
+            return df
+    return df.repartition(p)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -238,6 +274,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>, n_sh: int) MinHash signature table — ONE
+    fused scan (signature + shingle-set cardinality from a single
+    evaluation of the shingle expression; two projection columns would
+    compute it twice, no subexpression elimination across HOF trees,
+    measured 2× scan).
+
+    This is the unit the incremental pipeline CHECKPOINTS: write it once
+    for the kept corpus via ``signature_stage`` and every later increment
+    joins against the stored table instead of re-scanning corpus text
+    (VERDICT r03 finding #1 — per-increment O(corpus) recompute was the
+    last dedup scale-killer).
+
+    Empty-after-normalization docs (common in web crawls) yield n_sh = 0
+    and an all-MAX_LONG sentinel signature: empty-string shingles are
+    filtered out of the set, so two empty docs do NOT share bands here —
+    the pair operators drop n_sh = 0 rows before banding (an all-empty
+    clique would otherwise match every empty doc to every other; ADVICE
+    r03).  Empty docs are exact duplicates of each other and belong to
+    ``exact_dedup``."""
+    from entity_linking_spark.functions.hashing import (
+        minhash_signature_with_size,
+        word_shingles,
+    )
+
+    shingle_set = F.array_distinct(
+        F.filter(
+            word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k),
+            lambda s: s != F.lit(""),
+        )
+    )
+    sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes, seed=seed)
+    return (
+        _parallelize_scan(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
+        .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
+    )
+
+
+def signature_stage(
+    catalog,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    resume: bool = True,
+    **sig_kwargs,
+) -> DataFrame:
+    """Write-once/refresh the kept-corpus MinHash signature table as a
+    catalog stage (sources/catalog.py) and return it.
+
+    With ``resume=True`` a complete stage is reused as-is — the corpus
+    text is NOT re-scanned and the snapshot id is unchanged — so each
+    increment's cost is O(increment), not O(kept corpus).  Refresh after
+    appending novel docs to the kept corpus with ``resume=False`` (or
+    ``catalog.invalidate(name)``)."""
+    return catalog.get_or_compute(
+        name,
+        lambda: minhash_signatures(df, id_col, text_col, **sig_kwargs),
+        resume=resume,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -261,30 +367,29 @@ def minhash_lsh_pairs(
     before the 64-long signature rows join on — this also tightens the
     estimator (it can no longer pass a ratio-infeasible pair on hash
     luck).  VERDICT r02 finding #6.
+
+    Empty-after-normalization docs (n_sh = 0) are excluded from pairing —
+    see ``minhash_signatures``; they are exact duplicates and belong to
+    ``exact_dedup`` (ADVICE r03).
     """
     rows_per_band = num_hashes // bands
-    from entity_linking_spark.functions.hashing import (
-        minhash_signature_with_size,
-        word_shingles,
-    )
-
     from entity_linking_spark.operators._cache import track
 
-    shingle_set = F.array_distinct(
-        word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)
-    )
-    # fused sig+cardinality: one evaluation of the (expensive) shingle
-    # expression per row — two projection columns would compute it twice
-    # (no subexpression elimination across HOF trees; measured 2× scan)
-    sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes)
     sigs = track(
-        _parallelize_scan(df.select(id_col, text_col))
-        .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
-        .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
+        minhash_signatures(
+            df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+        )
     )
     sigs.count()  # eager: consumed by band keys + both verification joins
+    # empty-doc filter AFTER the persist barrier: a `where` inside the
+    # tracked plan would be pushed below the signature projection and
+    # re-evaluate the whole HOF aggregate per row (no CSE across
+    # CodegenFallback trees — the rule-6 trap); over the InMemoryRelation
+    # it is a cheap cached-column scan.
+    sigs = sigs.where(F.col("n_sh") > 0)
     keys = sigs.select(
-        "id", F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("key")
+        "id",
+        F.explode(lsh_band_keys("sig", bands, rows_per_band, compact=True)).alias("key"),
     )
     cand = _pair_candidates_by_key(keys, max_bucket=max_bucket)
 
@@ -347,7 +452,7 @@ def _bipartite_candidates_by_key(
 
 def minhash_lsh_pairs_against(
     new_df: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     id_col: str,
     text_col: str,
     shingle_k: int = 3,
@@ -355,6 +460,7 @@ def minhash_lsh_pairs_against(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 10_000,
+    ref_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard_est): near-dups of NEW docs against an
     existing REFERENCE corpus — the incremental shape of training-data
@@ -364,34 +470,57 @@ def minhash_lsh_pairs_against(
 
     Same machinery as ``minhash_lsh_pairs`` (fused signature+size scan,
     band-bucket join, size-bound prefilter, signature-agreement
-    estimate), but the bucket join is bipartite: reference signatures
-    are computed once per increment and only keys present on both sides
-    join, so the historical corpus is never self-paired.  At production
-    scale the reference signature table is a checkpointed stage table
-    (sources/catalog.py) computed once, not per increment."""
-    rows_per_band = num_hashes // bands
-    from entity_linking_spark.functions.hashing import (
-        minhash_signature_with_size,
-        word_shingles,
-    )
-    from entity_linking_spark.operators._cache import track
+    estimate), but the bucket join is bipartite: only keys present on
+    both sides join, so the historical corpus is never self-paired.
 
-    shingle_set = F.array_distinct(
-        word_shingles(words(normalize_text(F.col(text_col))), k=shingle_k)
-    )
-    sig_n = minhash_signature_with_size(shingle_set, num_hashes=num_hashes)
+    THE PRODUCTION PATH passes ``ref_sigs``: a precomputed
+    (id, sig, n_sh) signature table (``minhash_signatures`` schema,
+    checkpointed once via ``signature_stage``) built with the SAME
+    shingle_k / num_hashes / seed.  Then no reference text is scanned at
+    all — each increment costs O(increment) signatures plus the
+    bipartite band join (VERDICT r03 finding #1: recomputing reference
+    signatures per increment made every increment O(kept corpus)).
+    ``ref_df`` (raw text, signatures computed inline) remains for
+    one-shot jobs; pass exactly one of the two.
+
+    Empty docs (n_sh = 0) never pair — an empty new doc is always novel
+    here; catch empty-vs-empty duplication with ``exact_dedup``
+    (ADVICE r03)."""
+    if (ref_df is None) == (ref_sigs is None):
+        raise ValueError("pass exactly one of ref_df (raw text) or ref_sigs "
+                         "(precomputed signature table)")
+    rows_per_band = num_hashes // bands
+    from entity_linking_spark.operators._cache import track
 
     def _sigs(side: DataFrame) -> DataFrame:
         s = track(
-            _parallelize_scan(side.select(id_col, text_col))
-            .select(F.col(id_col).alias("id"), sig_n.alias("sn"))
-            .select("id", F.col("sn.sig").alias("sig"), F.col("sn.n").alias("n_sh"))
+            minhash_signatures(
+                side, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+            )
         )
         s.count()  # eager: consumed by band keys + the verification join
-        return s
+        # n_sh filter after the persist barrier — inside the tracked plan
+        # it would push below the projection and re-run the signature
+        # aggregate per row (rule-6 HOF no-CSE trap)
+        return s.where(F.col("n_sh") > 0)
 
-    sigs_new, sigs_ref = _sigs(new_df), _sigs(ref_df)
-    bkeys = lsh_band_keys("sig", bands, rows_per_band)
+    sigs_new = _sigs(new_df)
+    if ref_sigs is not None:
+        # Stage-table path: consumed twice (band keys + verification
+        # join) — re-reading the columnar stage beats caching a
+        # corpus-sized table, so no track/persist here.  No n_sh filter
+        # either: filtering an inline-expression ref_sigs would push the
+        # predicate into the signature projection and re-evaluate the
+        # aggregate (rule-6 trap), and it is provably unnecessary — an
+        # empty doc's sentinel signature is all MAX_LONG while every
+        # non-empty doc's minhashes are < 2^31, so no band key can
+        # collide across the two, and sigs_new is already n_sh-filtered;
+        # empty-ref band keys never appear on the new side, so the
+        # bipartite key intersection drops them for free.
+        sigs_ref = ref_sigs
+    else:
+        sigs_ref = _sigs(ref_df)
+    bkeys = lsh_band_keys("sig", bands, rows_per_band, compact=True)
     cand = _bipartite_candidates_by_key(
         sigs_new.select("id", F.explode(bkeys).alias("key")),
         sigs_ref.select("id", F.explode(bkeys).alias("key")),
@@ -428,7 +557,7 @@ def minhash_lsh_pairs_against(
 
 def incremental_dedup(
     new_df: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     id_col: str,
     text_col: str,
     **kwargs,
@@ -436,7 +565,9 @@ def incremental_dedup(
     """(id, is_novel, matched_ref_id) for every NEW doc: novel unless it
     near-dups a reference doc (matched = min matching ref id, the
     cluster.py representative convention).  Keyword args flow to
-    ``minhash_lsh_pairs_against``."""
+    ``minhash_lsh_pairs_against`` — in production pass
+    ``ref_sigs=signature_stage(...)`` (and ref_df=None) so the kept
+    corpus is never re-scanned per increment."""
     pairs = minhash_lsh_pairs_against(new_df, ref_df, id_col, text_col, **kwargs)
     matches = pairs.groupBy("new_id").agg(F.min("ref_id").alias("matched_ref_id"))
     return (
@@ -469,12 +600,15 @@ def simhash_pairs(
         )
     )
     fp.count()  # eager: consumed by band keys + both verification joins
+    # (band idx, 16-bit band value) folded to ONE xxhash64 bigint — the
+    # bucket exchange ships two fixed-width longs per row, never strings
+    # (compact_keys / ann.py lesson; VERDICT r03 #2).  A 64-bit collision
+    # across bands only adds a candidate the Hamming verify rejects.
     band_arr = F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(f"s{i}"),
-                F.shiftright(F.col("fp"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+            F.xxhash64(
+                F.lit(i),
+                F.shiftright(F.col("fp"), i * 16).bitwiseAND(F.lit(0xFFFF)),
             )
             for i in range(4)
         ]

@@ -42,6 +42,29 @@ def _bucket_keys_are_bigint(plan: str) -> bool:
     return bool(refs) and all(suffix == "L" for suffix in refs)
 
 
+def _dedup_bucket_keys_are_bigint(plan: str) -> bool:
+    """Every `key` attribute in the dedup bucket join is a bigint (#NNNL)
+    — the xxhash64-folded compact band key, not a concat_ws string
+    (VERDICT r03 #2: the SimHash/minhash bucket exchanges shipped ~25-byte
+    strings where two fixed-width longs do).  Negative lookbehind keeps
+    `bkey#` (ANN's column, separately audited) out of the match."""
+    refs = re.findall(r"(?<![0-9A-Za-z_])key#\d+(L?)", plan)
+    return bool(refs) and all(suffix == "L" for suffix in refs)
+
+
+def _single_window_exchange(plan: str) -> bool:
+    """Single-shuffle window dedup (ADVICE r03 #5 hardened): assert on the
+    FORMATTED rendering's node headers only — exactly one `(N) Exchange`
+    node and no Join — instead of counting substring occurrences across
+    three concatenated renderings (which drifted with rendering changes)."""
+    nodes = re.findall(r"\(\d+\) (\w+)", plan)
+    return (
+        nodes.count("Exchange") == 1
+        and "Window" in nodes
+        and not any("Join" in n for n in nodes)
+    )
+
+
 def _no_forced_broadcast(plan: str) -> bool:
     """The optimized logical plan carries no broadcast join hint — the
     planner (or AQE at runtime) picks the join strategy from measured
@@ -85,12 +108,8 @@ CHECKS = {
     ],
     "exact_dedup": [
         ("single-shuffle window dedup: representative + dup_count share "
-         "one md5-keyed exchange, no rejoin",
-         lambda plan: "Window" in plan and "Join" not in plan
-         and plan.count("Exchange hashpartitioning") <= 2),
-        # ≤2: the md5 exchange appears once in the executed plan and once
-        # in the formatted rendering; a reintroduced rejoin would add two
-        # more occurrences (and a Join node, caught above).
+         "one md5-keyed exchange, no rejoin (formatted node headers only)",
+         _single_window_exchange),
     ],
     "token_stats": [
         ("only doc_id+text read",
@@ -104,6 +123,18 @@ CHECKS = {
     "minhash_dedup": [
         ("signatures computed in scan projection (no pre-shuffle)", r"Project"),
         ("bucket-size guard via broadcast", r"BroadcastHashJoin"),
+        ("band bucket keys are compact bigints, not strings",
+         _dedup_bucket_keys_are_bigint),
+    ],
+    "simhash_dedup": [
+        ("band bucket keys are compact bigints, not strings",
+         _dedup_bucket_keys_are_bigint),
+        ("bucket-size guard via broadcast", r"BroadcastHashJoin"),
+    ],
+    "incremental_dedup": [
+        ("bipartite band bucket keys are compact bigints",
+         _dedup_bucket_keys_are_bigint),
+        ("empty-doc (n_sh=0) filter applied before banding", r"n_sh#\d+ > 0"),
     ],
     "line_dedup": [
         ("boilerplate-frequency guard via broadcast", r"BroadcastHashJoin"),

@@ -182,19 +182,40 @@ def test_line_dedup_normalizes_lines(spark):
     assert len(pairs) == 1 and pairs[0]["n_shared"] == 2
 
 
-def test_parallelize_scan_guard(spark):
+def test_parallelize_scan_guard(spark, tmp_path):
+    """Same guard behavior as the r03 `.rdd` probe, without any RDD
+    conversion in the operator path (VERDICT r03 #4): starved file scans
+    (fewer estimated splits than parallelism) widen to defaultParallelism,
+    inputs with enough splits pass through untouched, and driver-local
+    frames (no input files → small by construction) always widen."""
+    import inspect
+
+    from entity_linking_spark.operators import dedup
     from entity_linking_spark.operators.dedup import _parallelize_scan
 
+    assert ".rdd" not in inspect.getsource(dedup), "no RDD conversion in operators"
+
     p = spark.sparkContext.defaultParallelism
+    # driver-local frame: widened
     one = spark.createDataFrame(DOCS, "id string, text string").coalesce(1)
-    assert one.rdd.getNumPartitions() == 1
     widened = _parallelize_scan(one)
     assert widened.rdd.getNumPartitions() == p
     # rows survive the repartition untouched
     assert sorted(r["id"] for r in widened.collect()) == sorted(d[0] for d in DOCS)
-    # an input already at >= parallelism partitions passes through as-is
-    wide = one.repartition(p + 4)
-    assert _parallelize_scan(wide) is wide
+
+    # small single-file parquet scan: one estimated split < p → widened
+    path = str(tmp_path / "small_corpus")
+    one.write.parquet(path)
+    small_scan = spark.read.parquet(path).coalesce(1)
+    assert _parallelize_scan(small_scan).rdd.getNumPartitions() == p
+
+    # file scan with ≥ p files: estimated splits ≥ p → pass-through as-is
+    wide_path = str(tmp_path / "wide_corpus")
+    spark.createDataFrame(DOCS * 20, "id string, text string").repartition(
+        p + 4
+    ).write.parquet(wide_path)
+    wide_scan = spark.read.parquet(wide_path)
+    assert _parallelize_scan(wide_scan) is wide_scan
 
 
 def test_incremental_dedup_against_reference(spark, docs):
@@ -229,3 +250,129 @@ def test_incremental_dedup_against_reference(spark, docs):
     }
     assert assign["n1"] == (False, "d01")   # min matching ref id
     assert assign["n2"] == (True, None)
+
+
+def test_incremental_dedup_reuses_signature_stage(spark, tmp_path, docs):
+    """The production incremental path (VERDICT r03 #1): reference
+    signatures are checkpointed ONCE via signature_stage; the second
+    increment reuses the stage (snapshot id unchanged, compute not
+    called) and the pairs plan scans the signature stage, never the
+    reference corpus text."""
+    from entity_linking_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        signature_stage,
+    )
+    from entity_linking_spark.sources.catalog import Catalog
+
+    # reference corpus lives in parquet so plan-level scans are checkable
+    ref_path = str(tmp_path / "kept_corpus")
+    docs.write.parquet(ref_path)
+    ref = spark.read.parquet(ref_path)
+
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    computes = []
+
+    def stage(resume=True):
+        def compute():
+            computes.append(1)
+            return minhash_signatures(ref, "id", "text", shingle_k=2)
+
+        return cat.get_or_compute("ref_sigs", compute, resume=resume)
+
+    sigs1 = stage()
+    snap1 = cat.snapshot_id("ref_sigs")
+    assert computes == [1]
+    assert sigs1.columns == ["id", "sig", "n_sh"]
+
+    inc1 = spark.createDataFrame(
+        [("n1", "the quick brown fox jumps over the lazy dog")],
+        "id string, text string",
+    )
+    out1 = {
+        r["id"]: (r["is_novel"], r["matched_ref_id"])
+        for r in incremental_dedup(
+            inc1, None, "id", "text", ref_sigs=sigs1, shingle_k=2, threshold=0.8
+        ).collect()
+    }
+    assert out1 == {"n1": (False, "d01")}
+
+    # second increment: stage reused — no ref-side recompute, same snapshot
+    sigs2 = stage()
+    assert computes == [1], "second increment recomputed the reference signatures"
+    assert cat.snapshot_id("ref_sigs") == snap1
+
+    inc2 = spark.createDataFrame(
+        [
+            ("n2", "spark engines shuffle partitions across the cluster"),
+            ("n3", "totally fresh prose about alpine meadows"),
+        ],
+        "id string, text string",
+    )
+    pairs = incremental_dedup(
+        inc2, None, "id", "text", ref_sigs=sigs2, shingle_k=2, threshold=0.8
+    )
+    got = {r["id"]: (r["is_novel"], r["matched_ref_id"]) for r in pairs.collect()}
+    assert got == {"n2": (False, "d04"), "n3": (True, None)}
+
+    # the ref-signature scan is absent from the plan: the only files the
+    # pairs plan reads are the signature STAGE parquet — the kept-corpus
+    # text parquet never appears (the increment side is driver-local here)
+    scanned = pairs.inputFiles()
+    assert scanned and all("/stages/ref_sigs/" in f for f in scanned)
+    assert not any("kept_corpus" in f for f in scanned)
+
+    # signature_stage helper is the same seam end-to-end
+    cat2 = Catalog(spark, str(tmp_path / "stages2"))
+    s = signature_stage(cat2, "sigs", ref, "id", "text", shingle_k=2)
+    assert s.columns == ["id", "sig", "n_sh"]
+    assert cat2.is_complete("sigs")
+
+
+def test_empty_docs_never_pair(spark):
+    """Empty-after-normalization docs (ADVICE r03): n_sh = 0 rows are
+    excluded before banding, so empty docs neither self-pair (no all-empty
+    clique) nor match empty reference docs (an empty new doc is novel)."""
+    from entity_linking_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [("e1", ""), ("e2", "   "), ("e3", "\n\t \n"),
+            ("r1", "real content about distributed dataflow engines"),
+            ("r2", "real content about distributed dataflow engines")]
+    df = spark.createDataFrame(rows, "id string, text string")
+
+    sigs = {r["id"]: r["n_sh"] for r in minhash_signatures(df, "id", "text").collect()}
+    assert sigs["e1"] == 0 and sigs["e2"] == 0 and sigs["e3"] == 0
+    assert sigs["r1"] > 0
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "id", "text", shingle_k=2, threshold=0.8).collect()
+    }
+    assert pairs == {("r1", "r2")}
+
+    new = spark.createDataFrame([("n_empty", ""), ("n_dup", "real content about distributed dataflow engines")],
+                                "id string, text string")
+    got = {
+        r["id"]: (r["is_novel"], r["matched_ref_id"])
+        for r in incremental_dedup(
+            new, df, "id", "text", shingle_k=2, threshold=0.8
+        ).collect()
+    }
+    assert got["n_empty"] == (True, None)
+    assert got["n_dup"] == (False, "r1")
+
+    # passing both or neither reference form is an error
+    import pytest as _pytest
+
+    from entity_linking_spark.operators.dedup import minhash_lsh_pairs_against
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs_against(new, None, "id", "text")
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs_against(
+            new, df, "id", "text", ref_sigs=minhash_signatures(df, "id", "text")
+        )

@@ -692,8 +692,14 @@ def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["doc_id"],
     )
+    # stable content-addressed dir: Python's str hash is salted per
+    # process, so hash(sf_dir) minted a fresh leaked dir per driver run
+    # (ADVICE r03) — md5 makes reruns reuse (and overwrite) one path
+    import hashlib
+
     tdir = os.path.join(
-        tempfile.gettempdir(), f"el_tar_query_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"el_tar_query_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(tdir, exist_ok=True)
     tar_path = os.path.join(tdir, "corpus.tar.gz")

@@ -15,16 +15,34 @@ Releasing is safe at any point: an unpersisted plan recomputes instead of
 failing, so a scope that closes "too early" only costs recompute time,
 never correctness.  One-shot jobs that exit the JVM after a single query
 need neither.
+
+THREADING (ADVICE r03): the registry is ``threading.local`` — drivers
+that submit jobs from parallel threads (a normal Spark pattern) get one
+independent registry per thread, so concurrent ``cache_scope()`` blocks
+can no longer interleave their position marks and unpersist each other's
+frames.  Corollary: ``release_cached()`` / scope exit only releases
+frames tracked ON THE SAME THREAD — build and release an operator's
+plan on one thread.  A thread that tracks outside any scope and never
+calls ``release_cached()`` holds its frames until the thread (or
+session) dies, exactly like a bare ``.persist()`` would.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "tracked", None)
+    if lst is None:
+        lst = _LOCAL.tracked = []
+    return lst
 
 
 def track(
@@ -35,20 +53,21 @@ def track(
     Double-tracking the same frame is harmless (persist at the same level
     is a no-op; the extra unpersist is too)."""
     df = df.persist(level)
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_cached() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
-    n = len(_TRACKED)
+    """Unpersist every frame tracked on THIS thread; returns the count."""
+    n = len(_tracked())
     _release_to(0)
     return n
 
 
 def _release_to(mark: int) -> None:
-    while len(_TRACKED) > mark:
-        df = _TRACKED.pop()
+    lst = _tracked()
+    while len(lst) > mark:
+        df = lst.pop()
         try:
             df.unpersist()
         except Exception:
@@ -60,8 +79,10 @@ def cache_scope():
     """Release (only) the frames tracked inside the scope on exit.
 
     Materialize results before the scope closes (collect/write) — after
-    exit the returned plan still works but recomputes its intermediates."""
-    mark = len(_TRACKED)
+    exit the returned plan still works but recomputes its intermediates.
+    Scopes are per-thread (see module docstring): a scope never touches
+    frames tracked by other threads."""
+    mark = len(_tracked())
     try:
         yield
     finally:

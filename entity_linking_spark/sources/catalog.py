@@ -126,17 +126,33 @@ class Catalog:
         in the same resumable stage tables the batch pipeline reads
         (engine addition — the reference is pure batch, SURVEY §2.8).
 
-        IDEMPOTENT under foreachBatch's at-least-once replay (ADVICE r02):
-        the micro-batch lands at batch-id-DETERMINISTIC file names — the
-        batch is written to a scratch dir, then its part files are moved
-        to ``b{batch_id}-NNNNN.parquet`` after any files from a previous
-        attempt of the SAME batch id are removed.  A stream that dies at
-        any point (mid-move, after the data landed but before the
-        checkpoint committed, …) re-delivers the batch on restart, and
-        the replay converges to exactly one copy — a plain
-        ``mode("append")`` would duplicate the rows.  Per-batch row
-        counts live in the manifest (``batches``), so the stage row count
-        is replay-proof too (sum over batch ids, not a running add).
+        IDEMPOTENT under foreachBatch's at-least-once replay (ADVICE r02).
+        Iceberg branch (the real seam): each batch is tagged with a
+        ``__batch_id`` column and lands via ``writeTo(...).overwrite(
+        __batch_id == batch_id)`` — Iceberg's atomic overwrite-by-filter
+        replaces any previous attempt of the SAME batch in one snapshot
+        commit, which is the object-store-safe idempotence primitive
+        (first batch creates the table).  Parquet fallback: the batch
+        lands at batch-id-DETERMINISTIC file names — written to a scratch
+        dir, then part files moved to ``b{batch_id}-NNNNN.parquet`` after
+        removing any files from a previous attempt of the same batch id.
+        A stream that dies at any point (mid-move, after the data landed
+        but before the checkpoint committed, …) re-delivers the batch on
+        restart, and the replay converges to exactly one copy — a plain
+        ``mode("append")`` would duplicate the rows.
+
+        CONSTRAINT (VERDICT r03 #3): the Parquet fallback's idempotence
+        rests on POSIX atomic rename (``os.replace``) and local ``glob``,
+        which object stores do not provide — it is correct for
+        local/NFS/HDFS-mounted paths only.  On S3/GCS deploy the Iceberg
+        branch, whose snapshot commit IS the atomic primitive.
+
+        Per-batch row counts live in the manifest (``batches``), so the
+        stage row count is replay-proof (sum over batch ids, not a
+        running add).  Streaming into a stage previously written by the
+        batch ``write()`` path seeds ``batches["legacy"]`` with the
+        recorded row count — the pre-existing rows stay readable and
+        counted (ADVICE r03 migration gap).
 
         Each batch costs one write + one count over the PERSISTED batch
         (no source re-read); the snapshot id records the micro-batch id,
@@ -146,27 +162,49 @@ class Catalog:
         import shutil
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            path = self._path(name)
-            os.makedirs(path, exist_ok=True)
-            scratch = path + f".__b{batch_id}.inprogress"
             batch_df.persist()
             try:
-                batch_df.write.mode("overwrite").parquet(scratch)
-                n = batch_df.count()
-                for old in glob.glob(os.path.join(path, f"b{batch_id}-*.parquet")):
-                    os.remove(old)
-                parts = sorted(glob.glob(os.path.join(scratch, "part-*")))
-                for i, p in enumerate(parts):
-                    os.replace(p, os.path.join(path, f"b{batch_id}-{i:05d}.parquet"))
+                if self.use_iceberg:
+                    tagged = batch_df.withColumn("__batch_id", F.lit(batch_id))
+                    table = f"local.db.{name}"
+                    if self._manifest().get(name) is None:
+                        tagged.writeTo(table).using("iceberg").createOrReplace()
+                    else:
+                        tagged.writeTo(table).overwrite(
+                            F.col("__batch_id") == F.lit(batch_id)
+                        )
+                    n = batch_df.count()
+                else:
+                    path = self._path(name)
+                    os.makedirs(path, exist_ok=True)
+                    scratch = path + f".__b{batch_id}.inprogress"
+                    try:
+                        batch_df.write.mode("overwrite").parquet(scratch)
+                        n = batch_df.count()
+                        for old in glob.glob(
+                            os.path.join(path, f"b{batch_id}-*.parquet")
+                        ):
+                            os.remove(old)
+                        parts = sorted(glob.glob(os.path.join(scratch, "part-*")))
+                        for i, p in enumerate(parts):
+                            os.replace(
+                                p, os.path.join(path, f"b{batch_id}-{i:05d}.parquet")
+                            )
+                    finally:
+                        shutil.rmtree(scratch, ignore_errors=True)
             finally:
                 batch_df.unpersist()
-                shutil.rmtree(scratch, ignore_errors=True)
             m = self._manifest()
             entry = m.get(name) or {
                 "schema": batch_df.schema.simpleString(),
                 "complete": True,
             }
             batches = entry.setdefault("batches", {})
+            if len(batches) == 0 and entry.get("rows"):
+                # stage previously written by the batch write() path: its
+                # rows are still readable — carry them as a legacy batch
+                # instead of silently dropping the count (ADVICE r03)
+                batches["legacy"] = entry["rows"]
             batches[str(batch_id)] = n
             entry["rows"] = sum(batches.values())
             entry["snapshot_id"] = f"{name}-b{batch_id}"

@@ -68,6 +68,52 @@ def test_release_cached_sweeps_everything(spark):
     assert _n_persisted(spark) == base
 
 
+def test_concurrent_scopes_are_thread_isolated(spark):
+    """Registry is threading.local (ADVICE r03): concurrent cache_scope()
+    blocks on different threads must not unpersist each other's frames —
+    with the old module-global list, thread B's scope exit (position mark
+    0) swept thread A's still-in-scope cache."""
+    import threading
+
+    release_cached()
+    base = _n_persisted(spark)
+    a_cached = threading.Event()
+    b_done = threading.Event()
+    errors = []
+
+    def thread_a():
+        try:
+            with cache_scope():
+                t = track(spark.range(50).select((F.col("id") % 5).alias("k")))
+                t.count()
+                a_cached.set()
+                # B's whole scope opens and closes while A is mid-scope
+                assert b_done.wait(30)
+                # A's frame must still be persisted (not swept by B)
+                assert t.storageLevel.useMemory or t.storageLevel.useDisk
+                assert _n_persisted(spark) >= base + 1
+        except Exception as e:  # surfaced in the main thread below
+            errors.append(e)
+            a_cached.set()
+
+    def thread_b():
+        try:
+            assert a_cached.wait(30)
+            with cache_scope():
+                t = track(spark.range(30).select((F.col("id") * 3).alias("v")))
+                t.count()
+        except Exception as e:
+            errors.append(e)
+        finally:
+            b_done.set()
+
+    ta, tb = threading.Thread(target=thread_a), threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    ta.join(60); tb.join(60)
+    assert not errors, errors
+    assert _n_persisted(spark) == base
+
+
 def test_released_plan_still_computes(spark):
     """Unpersisting is never a correctness event — a plan whose cached
     parent was released recomputes."""

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -581,6 +583,54 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n=30)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.py:audio_features — stdlib
+    wave + numpy PCM, VERDICT r03 #6) over deterministically constructed
+    WAV clips: doc_id < 200 each becomes a mono 16-bit 8 kHz WAV with
+    n_frames = 800 + (doc_id%40)*80 constant-amplitude samples of value
+    A = 1000 + doc_id%100.  Every output is then SQL-expressible from
+    doc_id alone: n_bytes = 44 + 2·n_frames (standard PCM header),
+    duration = n_frames/8000, and rms = A/32768 EXACTLY (A/2^15, its
+    square, and all partial sums are exactly representable doubles, so
+    the float pipeline is bit-deterministic — no rounding needed)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from entity_linking_spark.operators.multimodal import audio_features
+
+    @pandas_udf(BinaryType())
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+
+        outs = []
+        for d in doc_id:
+            d = int(d)
+            n_frames = 800 + (d % 40) * 80
+            amp = 1000 + d % 100
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(_np.full(n_frames, amp, dtype="<i2").tobytes())
+            outs.append(buf.getvalue())
+        return pd.Series(outs)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        make_wav("doc_id").alias("content"),
+    )
+    out = audio_features(media)
+    return out.select(
+        "media_id", "n_bytes", "sample_rate", "n_channels",
+        "sample_width", "n_frames", "duration_sec", "rms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Clustering / events
 # ---------------------------------------------------------------------------
@@ -778,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "connected_components": q_connected_components,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1169,6 +1220,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, unnest(generate_series(0, nf - 1, 30)) AS frame_index
             FROM m
+        """,
+        "audio_features": """
+            -- the WAV construction is deterministic from doc_id (see
+            -- q_audio_features), so every decoded field is replicated in
+            -- closed form; rms = A/32768 is exact in binary floating
+            -- point (A/2^15), so no rounding is needed on either side
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(44 + 2 * (800 + (doc_id % 40) * 80) AS BIGINT) AS n_bytes,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(2 AS INTEGER) AS sample_width,
+                   CAST(800 + (doc_id % 40) * 80 AS BIGINT) AS n_frames,
+                   CAST(800 + (doc_id % 40) * 80 AS DOUBLE) / 8000.0 AS duration_sec,
+                   CAST(1000 + doc_id % 100 AS DOUBLE) / 32768.0 AS rms
+            FROM documents WHERE doc_id < 200
         """,
         "connected_components": """
             SELECT format('v{:08d}', vec_id) AS node,

@@ -147,6 +147,48 @@ def el_hot_path(spark, fixture_dir: str):
     return n_pairs, n_nodes
 
 
+def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500) -> dict:
+    """Recall@k of the approximate ANN paths vs brute force on the REAL
+    sf embeddings corpus (VERDICT r03 #8: the recall gates live in
+    tests/test_ann.py on clustered fixtures; this records the
+    quality-vs-speed tradeoff on the bench corpus round-over-round).
+    Untimed — a quality metric, not a throughput one.  Note the bench
+    corpus is near-uniform (max pair cosine ≈ 0.51), the hard case for
+    locality-sensitive methods; clustered corpora score far higher."""
+    from pyspark.sql import functions as F
+
+    from entity_linking_spark.operators._cache import release_cached
+    from entity_linking_spark.operators.ann import (
+        brute_force_topk, ivf_topk, lsh_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = brute_force_topk(q, c, k=k).select("query_id", "corpus_id").persist()
+    denom = exact.count()
+
+    lsh_params = {"num_planes": 6, "num_tables": 8}
+    ivf_params = {"num_centroids": 16, "nprobe": 4}
+    approx_lsh = lsh_topk(q, c, dim=dim, k=k, **lsh_params)
+    lsh_hits = approx_lsh.select("query_id", "corpus_id").intersect(exact).count()
+    release_cached()
+    approx_ivf = ivf_topk(q, c, dim=dim, k=k, **ivf_params)
+    ivf_hits = approx_ivf.select("query_id", "corpus_id").intersect(exact).count()
+    release_cached()
+    exact.unpersist()
+    return {
+        "k": k,
+        "n_queries": n_queries,
+        "corpus_size": c.count(),
+        "lsh": {"recall": round(lsh_hits / denom, 4), **lsh_params},
+        "ivf": {"recall": round(ivf_hits / denom, 4), **ivf_params},
+    }
+
+
 def run_headline(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -263,6 +305,7 @@ def run_headline(cores: int) -> dict:
         "cores": cores,
         "el_scored_pairs": n_pairs,
         "el_cc_nodes": n_edges,
+        "ann_recall": ann_recall_at_sf(spark, SF_DIR),
     }
     spark.stop()
     return out

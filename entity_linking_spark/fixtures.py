@@ -255,6 +255,47 @@ def generate_fixture(
     return fx
 
 
+def zipfian_corpus(
+    spark,
+    n_docs: int = 5000,
+    doc_len: int = 40,
+    vocab_size: int = 50_000,
+    zipf_a: float = 1.3,
+    neardup_frac: float = 0.01,
+    seed: int = 42,
+):
+    """(id, text) corpus with a ZIPFIAN vocabulary — natural-web-text
+    token statistics, where rare tokens are actually rare.
+
+    The sf* synthetic documents table has a tiny template vocabulary, so
+    nearly every doc pair shares a token and the AllPairs/PPJoin prefix
+    filter has no room to prune (dedup.py module docstring: 12.50M →
+    11.32M).  On this corpus the filter's published sub-quadratic shape
+    is MEASURABLE (scripts/prefix_filter_probe.py; VERDICT r03 #4).
+
+    ``neardup_frac`` of docs are near-duplicates of an earlier doc
+    (exactly one token swapped), so threshold-level matches exist.
+    Deterministic under seed."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # Zipf–Mandelbrot ranks via inverse-CDF sampling over a truncated
+    # power law: P(rank r) ∝ 1/r^a
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks ** (-zipf_a)
+    probs /= probs.sum()
+    rows = []
+    for i in range(n_docs):
+        if i > 0 and rng.random_sample() < neardup_frac:
+            src = rows[rng.randint(0, len(rows))][1].split(" ")
+            src[rng.randint(0, len(src))] = f"w{int(rng.randint(0, vocab_size)):06d}"
+            rows.append((i, " ".join(src)))
+            continue
+        toks = rng.choice(vocab_size, size=doc_len, p=probs)
+        rows.append((i, " ".join(f"w{int(t):06d}" for t in toks)))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
 def fixture_dataframes(spark, fx: Fixture):
     from entity_linking_spark.schemas import (
         ENTITY_SCHEMA,

@@ -31,14 +31,16 @@ pruned 70% is the dominant cost term of the verification stage.
 
 Exact-Jaccard candidate GENERATION is prefix-filtered
 (AllPairs/PPJoin — see ``ngram_jaccard_pairs``), provably
-result-identical.  Honest measurement note: on the sf0.1 synthetic
-corpus the prefix cut is only 12.50M → 11.32M because the fixture's
-template vocabulary is tiny — nearly every doc pair shares a token
-(the any-token candidate set IS all C(5000,2) pairs) and 965k pairs
-are true matches at t=0.9, so no candidate filter has room to work.
-On natural web text (Zipfian vocabulary, rare tokens actually rare)
-prefix filtering is the published sub-quadratic shape; the parity
-tests pin result-identity either way.
+result-identical.  Measurement (scripts/prefix_filter_probe.py →
+BENCH/PREFIX_FILTER.md): on a Zipfian-vocabulary corpus
+(fixtures.zipfian_corpus — natural-web-text token statistics) the
+filter cuts candidates 12.50M → 7.6k at t=0.9 (1647×), with
+end-to-end result parity re-verified on that corpus.  On the sf0.1
+synthetic corpus the cut is only 12.50M → 11.32M because the
+fixture's template vocabulary is tiny — nearly every doc pair shares
+a token and 965k pairs are true matches at t=0.9, so no candidate
+filter has room to work there; the parity tests pin result-identity
+either way.
 
 Each returns either pair edges (for clustering) or a keep/drop assignment
 (representative = min id, consistent with cluster.py's min convention).
@@ -161,6 +163,43 @@ def _pair_candidates_by_key(keys: DataFrame, max_bucket: int = 10_000) -> DataFr
     )
 
 
+def _jaccard_candidates(
+    exploded: DataFrame,
+    threshold: float,
+    max_bucket: int = 10_000,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from an exploded (id, key) DISTINCT
+    token stream — AllPairs/PPJoin prefix-filtered by default, or
+    any-shared-token with ``prefix_filter=False``.  Shared by
+    ``ngram_jaccard_pairs`` and the measurement probe
+    (scripts/prefix_filter_probe.py), so the measured candidate counts
+    are the operator's own, not a reimplementation's."""
+    from pyspark.sql import Window
+
+    if not prefix_filter:
+        return _pair_candidates_by_key(exploded, max_bucket=max_bucket)
+    # global document frequency per token — the canonical order that
+    # makes "rarest-first prefix" identical across all docs.  The
+    # freq table is vocabulary-sized: joined (shuffle, AQE may still
+    # broadcast small ones), never force-broadcast (the tfidf lesson,
+    # VERDICT r02 finding #2).
+    freq = exploded.groupBy("key").agg(F.count("*").alias("df_"))
+    n_tok = exploded.groupBy("id").agg(F.count("*").alias("n_"))
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("df_"), F.col("key"))
+    )
+    prefix_len = F.col("n_") - F.ceil(F.lit(threshold) * F.col("n_")) + F.lit(1)
+    prefix_keys = (
+        exploded.join(freq, "key")
+        .withColumn("rn", rn)
+        .join(n_tok, "id")
+        .where(F.col("rn") <= prefix_len)
+        .select("id", "key")
+    )
+    return _pair_candidates_by_key(prefix_keys, max_bucket=max_bucket)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -197,8 +236,6 @@ def ngram_jaccard_pairs(
     ``tokenizer``: "char" → character n-grams of the normalized text;
     "word" → whitespace word tokens (n ignored).
     """
-    from pyspark.sql import Window
-
     from entity_linking_spark.operators._cache import track
 
     if tokenizer == "word":
@@ -216,30 +253,9 @@ def ngram_jaccard_pairs(
 
     # consumed by candidate gen + both sides of the intersection join
     exploded = track(norm.select("id", F.explode("grams").alias("key")))
-    if prefix_filter:
-        # global document frequency per token — the canonical order that
-        # makes "rarest-first prefix" identical across all docs.  The
-        # freq table is vocabulary-sized: joined (shuffle, AQE may still
-        # broadcast small ones), never force-broadcast (the tfidf lesson,
-        # VERDICT r02 finding #2).
-        freq = exploded.groupBy("key").agg(F.count("*").alias("df_"))
-        n_tok = exploded.groupBy("id").agg(F.count("*").alias("n_"))
-        rn = F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("df_"), F.col("key"))
-        )
-        prefix_len = (
-            F.col("n_") - F.ceil(F.lit(threshold) * F.col("n_")) + F.lit(1)
-        )
-        prefix_keys = (
-            exploded.join(freq, "key")
-            .withColumn("rn", rn)
-            .join(n_tok, "id")
-            .where(F.col("rn") <= prefix_len)
-            .select("id", "key")
-        )
-        cand = _pair_candidates_by_key(prefix_keys, max_bucket=max_bucket)
-    else:
-        cand = _pair_candidates_by_key(exploded, max_bucket=max_bucket)
+    cand = _jaccard_candidates(
+        exploded, threshold, max_bucket=max_bucket, prefix_filter=prefix_filter
+    )
 
     # size prefilter: attach gram counts to the (cheap, two-long) candidate
     # rows and drop ratio-infeasible pairs BEFORE the exploded intersection.

@@ -115,12 +115,31 @@ def candidate_pairs(
     mention_keys: DataFrame,
     entity_keys: DataFrame,
     conf: BlockingConfig = BlockingConfig(),
+    catalog=None,
+    key_stats_stage: str = "blocking_key_stats",
+    resume: bool = True,
 ) -> DataFrame:
     """Equi-join the two key streams → distinct (mention_id, entity_id).
 
     Three-way plan: stop-keys dropped, hot keys salted-joined, cold keys
     joined plainly.  The key-frequency table is tiny (distinct keys ×
     count) and is broadcast to classify both streams without a shuffle.
+
+    Hot-key classification has two modes (VERDICT r03 #9):
+
+    - ``catalog=None`` (default, one-shot jobs): the hot set — keys over
+      ``hot_threshold``, tiny by construction — is collected (bounded at
+      100k rows) so the plan SHAPE adapts: with no hot keys the salted
+      branches and their four semi/anti joins are dropped from the plan
+      instead of executing empty.
+    - ``catalog=`` a sources.catalog.Catalog: the SCALE.md stage-table
+      shape — key_stats (key, m_freq, e_freq) is written once as a
+      resumable catalog stage and the hot/cold classification happens
+      via broadcast joins against it, with NO driver collect (no
+      LocalTableScan in the plan; asserted by scripts/explain_audit.py).
+      All branches stay in the plan (empty ones cost four broadcast
+      semi/anti probes); reruns reuse the stage (``resume=True``), so
+      the two frequency aggregations are paid once per corpus version.
 
     Both key streams are persisted here (via the tracked-cache registry,
     operators/_cache.py — release with ``cache_scope``/``release_cached``
@@ -141,28 +160,96 @@ def candidate_pairs(
     # streams are checkpointed stage tables anyway (sources/catalog.py).
     mention_keys.count()
     entity_keys.count()
-    e_freq = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
-    if conf.max_key_freq is not None:
-        e_freq = e_freq.where(F.col("e_freq") <= conf.max_key_freq)
-    kept_keys = F.broadcast(e_freq.select("key"))
+
+    def _key_stats() -> DataFrame:
+        mf = mention_keys.groupBy("key").agg(F.count("*").alias("m_freq"))
+        ef = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
+        return mf.join(ef, "key", "full_outer").select(
+            "key",
+            F.coalesce("m_freq", F.lit(0)).alias("m_freq"),
+            F.coalesce("e_freq", F.lit(0)).alias("e_freq"),
+        )
+
     # Hot = EITHER side's key frequency over threshold (a key with few
     # mentions but many entities is just as skewed as the reverse — the
     # r01 mention-side-only trigger missed the entity-heavy shape, ADVICE
     # r01 #1).  Salting splits the rows of whichever side is heavier
     # across num_salts reducers; the lighter side is replicated num_salts
     # times, so salting the heavy side minimizes replicated bytes.
-    m_freq = mention_keys.groupBy("key").agg(F.count("*").alias("m_freq"))
-    key_stats = (
-        m_freq.join(e_freq, "key", "full_outer")
-        .select(
-            "key",
-            F.coalesce("m_freq", F.lit(0)).alias("m_freq"),
-            F.coalesce("e_freq", F.lit(0)).alias("e_freq"),
-        )
+    is_hot = (F.col("m_freq") > conf.hot_threshold) | (
+        F.col("e_freq") > conf.hot_threshold
     )
-    hot_df = key_stats.where(
-        (F.col("m_freq") > conf.hot_threshold) | (F.col("e_freq") > conf.hot_threshold)
-    ).select("key", (F.col("m_freq") >= F.col("e_freq")).alias("salt_mentions"))
+    salt_mentions = (F.col("m_freq") >= F.col("e_freq")).alias("salt_mentions")
+
+    def _assemble(m, e, cold_pairs_or_all, m_hot_b, e_hot_b):
+        """Union cold + salted branches → distinct pair table.  The hot
+        frames are broadcast key sets (None = branch statically absent)."""
+
+        def salted_branch(hot_b, pick_side, pick_id, explode_side):
+            """Explicit salting: the heavy side picks one salt from its
+            id, the light side explodes all num_salts variants.  The
+            salted sub-key is xxhash64(key, salt) — one long regardless
+            of the key type, so the hot branch never widens shuffle
+            rows."""
+            picked = pick_side.join(hot_b, "key", "left_semi").withColumn(
+                "skey",
+                F.xxhash64(
+                    F.col("key"),
+                    F.pmod(
+                        F.xxhash64(F.col(pick_id)), F.lit(conf.num_salts)
+                    ).cast("int"),
+                ),
+            )
+            exploded = (
+                explode_side.join(hot_b, "key", "left_semi")
+                .withColumn(
+                    "s",
+                    F.explode(F.sequence(F.lit(0), F.lit(conf.num_salts - 1))),
+                )
+                .withColumn("skey", F.xxhash64(F.col("key"), F.col("s").cast("int")))
+                .drop("key", "s")
+            )
+            return picked.join(exploded, "skey").select(
+                "mention_id", "entity_id", "key"
+            )
+
+        branches = [cold_pairs_or_all]
+        if m_hot_b is not None:
+            branches.append(salted_branch(m_hot_b, m, "mention_id", e))
+        if e_hot_b is not None:
+            branches.append(salted_branch(e_hot_b, e, "entity_id", m))
+        pairs = branches[0]
+        for b in branches[1:]:
+            pairs = pairs.unionByName(b)
+        return pairs.groupBy("mention_id", "entity_id").agg(
+            F.min("key").alias("blocking_key")
+        )
+
+    if catalog is not None:
+        # stage-table mode: classification fully distributed, no collect
+        stats = catalog.get_or_compute(key_stats_stage, _key_stats, resume=resume)
+        kept = stats.where(F.col("e_freq") >= 1)
+        if conf.max_key_freq is not None:
+            kept = kept.where(F.col("e_freq") <= conf.max_key_freq)
+        kept_keys = F.broadcast(kept.select("key"))
+        m = mention_keys.withColumnRenamed("id", "mention_id").join(kept_keys, "key")
+        e = entity_keys.withColumnRenamed("id", "entity_id").join(kept_keys, "key")
+        hot = stats.where(is_hot).select("key", salt_mentions)
+        all_hot = F.broadcast(hot.select("key"))
+        m_cold = m.join(all_hot, "key", "left_anti")
+        e_cold = e.join(all_hot, "key", "left_anti")
+        cold_pairs = m_cold.join(e_cold, "key").select(
+            "mention_id", "entity_id", "key"
+        )
+        m_hot_b = F.broadcast(hot.where(F.col("salt_mentions")).select("key"))
+        e_hot_b = F.broadcast(hot.where(~F.col("salt_mentions")).select("key"))
+        return _assemble(m, e, cold_pairs, m_hot_b, e_hot_b)
+
+    e_freq = entity_keys.groupBy("key").agg(F.count("*").alias("e_freq"))
+    if conf.max_key_freq is not None:
+        e_freq = e_freq.where(F.col("e_freq") <= conf.max_key_freq)
+    kept_keys = F.broadcast(e_freq.select("key"))
+    hot_df = _key_stats().where(is_hot).select("key", salt_mentions)
 
     m = mention_keys.withColumnRenamed("id", "mention_id").join(kept_keys, "key")
     e = entity_keys.withColumnRenamed("id", "entity_id").join(kept_keys, "key")
@@ -189,42 +276,17 @@ def candidate_pairs(
     m_cold = m.join(all_hot, "key", "left_anti")
     e_cold = e.join(all_hot, "key", "left_anti")
     cold_pairs = m_cold.join(e_cold, "key").select("mention_id", "entity_id", "key")
-    branches = [cold_pairs]
-
-    def salted_branch(hot_keys_list, pick_side, pick_id, explode_side):
-        """Explicit salting: the heavy side picks one salt from its id,
-        the light side explodes all num_salts variants.  The salted
-        sub-key is xxhash64(key, salt) — one long regardless of the key
-        type, so the hot branch never widens the shuffle rows."""
-        hot_b = F.broadcast(
-            spark.createDataFrame([(k,) for k in hot_keys_list], key_schema)
-        )
-        picked = pick_side.join(hot_b, "key", "left_semi").withColumn(
-            "skey",
-            F.xxhash64(
-                F.col("key"),
-                F.pmod(F.xxhash64(F.col(pick_id)), F.lit(conf.num_salts)).cast("int"),
-            ),
-        )
-        exploded = (
-            explode_side.join(hot_b, "key", "left_semi")
-            .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(conf.num_salts - 1))))
-            .withColumn("skey", F.xxhash64(F.col("key"), F.col("s").cast("int")))
-            .drop("key", "s")
-        )
-        return picked.join(exploded, "skey").select("mention_id", "entity_id", "key")
-
-    if m_heavy:
-        branches.append(salted_branch(m_heavy, m, "mention_id", e))
-    if e_heavy:
-        branches.append(salted_branch(e_heavy, e, "entity_id", m))
-
-    pairs = branches[0]
-    for b in branches[1:]:
-        pairs = pairs.unionByName(b)
-    return pairs.groupBy("mention_id", "entity_id").agg(
-        F.min("key").alias("blocking_key")
+    m_hot_b = (
+        F.broadcast(spark.createDataFrame([(k,) for k in m_heavy], key_schema))
+        if m_heavy
+        else None
     )
+    e_hot_b = (
+        F.broadcast(spark.createDataFrame([(k,) for k in e_heavy], key_schema))
+        if e_heavy
+        else None
+    )
+    return _assemble(m, e, cold_pairs, m_hot_b, e_hot_b)
 
 
 def exhaustive_pairs(mentions: DataFrame, entities: DataFrame,

@@ -183,6 +183,46 @@ def main() -> int:
             if not ok:
                 failures.append(f"{name}: {desc} (pattern {pattern!r})")
         lines.append("")
+    # Stage-table hot-key mode (VERDICT r03 #9) — not an entry query, so
+    # audited directly: classification must be fully distributed (hot keys
+    # broadcast-joined from the key_stats stage, never collected to the
+    # driver and re-entered as a local relation).
+    import tempfile
+
+    from entity_linking_spark.operators.blocking import (
+        BlockingConfig, blocking_keys, candidate_pairs,
+    )
+    from entity_linking_spark.sources.catalog import Catalog
+
+    m = spark.createDataFrame(
+        [(f"m{i}", "alpha beta") for i in range(30)], "mention_id string, s string"
+    )
+    e = spark.createDataFrame(
+        [(f"e{i}", "alpha beta") for i in range(30)], "entity_id string, s string"
+    )
+    conf = BlockingConfig(hot_threshold=10, num_salts=4, max_key_freq=None)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="el_audit_keystats_"))
+    p_stage = candidate_pairs(
+        blocking_keys(m, "mention_id", "s", conf),
+        blocking_keys(e, "entity_id", "s", conf),
+        conf,
+        catalog=cat,
+    )
+    stage_plan = p_stage._jdf.queryExecution().executedPlan().toString()
+    lines.append("## blocking (stage-table hot-key mode)")
+    for desc, ok in [
+        ("hot-key classification is distributed: no driver-collected key "
+         "list re-enters the plan (no LocalTableScan / ExistingRDD[key)",
+         "LocalTableScan" not in stage_plan and "ExistingRDD[key" not in stage_plan),
+        ("hot/cold split reads the key_stats catalog stage",
+         "blocking_key_stats" in stage_plan),
+    ]:
+        mark = "x" if ok else " "
+        lines.append(f"- [{mark}] {desc}")
+        if not ok:
+            failures.append(f"blocking-stage-mode: {desc}")
+    lines.append("")
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:

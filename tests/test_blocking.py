@@ -128,6 +128,56 @@ def test_compact_keys_same_pair_set(spark, fixture_dfs):
     assert p_slt.exceptAll(p_cmp).count() == 0
 
 
+def test_stage_table_hot_key_mode_pair_parity(spark, tmp_path):
+    """catalog-backed hot-key classification (VERDICT r03 #9): the pair
+    set must equal the collect-mode one on a mixed-skew input (both
+    salted branches live), the key_stats stage must be reused on rerun
+    (snapshot unchanged), and the plan must contain NO LocalTableScan
+    (the collect-mode signature of driver-collected hot keys)."""
+    from entity_linking_spark.sources.catalog import Catalog
+
+    m = spark.createDataFrame(
+        [(f"m{i}", "aaaa bbbb") for i in range(30)]
+        + [(f"n{i}", "cccc dddd") for i in range(2)],
+        "mention_id string, s string",
+    )
+    e = spark.createDataFrame(
+        [(f"e{i}", "aaaa bbbb") for i in range(2)]
+        + [(f"f{i}", "cccc dddd") for i in range(30)],
+        "entity_id string, s string",
+    )
+    conf = BlockingConfig(hot_threshold=10, num_salts=4, max_key_freq=None)
+    mk = blocking_keys(m, "mention_id", "s", conf)
+    ek = blocking_keys(e, "entity_id", "s", conf)
+    cat = Catalog(spark, str(tmp_path / "stages"))
+
+    p_stage = candidate_pairs(mk, ek, conf, catalog=cat)
+    p_collect = candidate_pairs(mk, ek, conf)
+    a = p_stage.select("mention_id", "entity_id")
+    b = p_collect.select("mention_id", "entity_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == 30 * 2 + 2 * 30
+
+    # no driver-collected hot keys in the stage-mode plan: collected key
+    # lists re-enter the plan as driver-local relations (LocalTableScan /
+    # Scan ExistingRDD[key...]); stage mode reads them from the parquet
+    # stage instead
+    plan = p_stage._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "ExistingRDD[key" not in plan
+    assert "blocking_key_stats" in plan or "Parquet" in plan
+    # the collect-mode plan DOES carry the driver-local key lists
+    # (sanity: the assertion above distinguishes the modes)
+    collect_plan = p_collect._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in collect_plan or "ExistingRDD[key" in collect_plan
+
+    # rerun reuses the stage: snapshot unchanged
+    snap = cat.snapshot_id("blocking_key_stats")
+    p_again = candidate_pairs(mk, ek, conf, catalog=cat)
+    assert p_again.select("mention_id", "entity_id").exceptAll(a).count() == 0
+    assert cat.snapshot_id("blocking_key_stats") == snap
+
+
 def test_stop_key_cap_drops_hot_keys(spark):
     m = spark.createDataFrame(
         [(f"m{i}", "aaaa bbbb") for i in range(5)], "mention_id string, s string"

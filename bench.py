@@ -110,6 +110,19 @@ def el_score_path(spark, fixture_dir: str):
     ).persist()
     n_pairs = cands.count()  # materializes blocking (2 longs/row cached)
     pairs = cands.join(F.broadcast(m_feat), "idx_a").join(F.broadcast(e_feat), "idx_b")
+    if os.environ.get("SPARK_GRAFT_SCORING_STAGE", "0") == "1":
+        # Experiment (VERDICT r03 #3): materialize the feature-joined pair
+        # table as a columnar stage INSIDE the timed region, so the
+        # scoring stage is a pure scan → Arrow UDF → sink with no
+        # broadcast-probe/join work in it (the phase table localizes the
+        # scaling ceiling to the JVM side of the scoring stage).  At web
+        # scale this is the checkpointed stage-table shape anyway
+        # (sources/catalog.py); the A/B (scripts/scaling_ab.py --variants
+        # baseline,scoring_stage --reps N) decides if it pays here.
+        stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        stage_dir = os.path.join(stage_root, f"el_scoring_input_{os.getpid()}")
+        pairs.write.mode("overwrite").parquet(stage_dir)
+        pairs = spark.read.parquet(stage_dir)
     scored = score_indexed_pairs(pairs, ba, bb, conf=ScoringConfig()).select(
         # long-encoded ids (even=mention, odd=entity) keep the namespaces
         # disjoint for CC while the scored table stays 3 fixed-width cols

@@ -554,9 +554,24 @@ def run_scaling() -> dict:
             "compression off on tmpfs (+40% on this large probe but 20-30%\n"
             "SLOWER on bench-scale shuffles — lz4's byte savings still\n"
             "relieve the shared memory bus; see session.py).  Idx-only\n"
-            "scoring (r2): ~2.4× slower, kept rejected.  The residual gap\n"
-            "is the shared-box shuffle/DRAM ceiling, which a real\n"
-            "4N-executor cluster does not share.\n\n"
+            "scoring (r2): ~2.4× slower, kept rejected.  r4 tried the\n"
+            "VERDICT-r03-named lever — a SCORING-INPUT STAGE TABLE\n"
+            "(SPARK_GRAFT_SCORING_STAGE=1: the feature-joined pair table\n"
+            "lands in a columnar stage inside the timed region, making the\n"
+            "scoring stage a pure scan→Arrow-UDF→sink with no broadcast\n"
+            "probes) — interleaved A/B at 32 cores (2 reps each):\n"
+            "baseline [367360, 463106] mean 415233 pairs/s vs scoring_stage\n"
+            "[411488, 410863] mean 411175 — throughput EQUAL within this\n"
+            "box's noise, so REJECTED as the bench default (the scoring\n"
+            "stage had no big exchange to remove: the feature attach was\n"
+            "already broadcast, and the stage write+read costs what the\n"
+            "probes cost).  Worth noting: the stage variant's run-to-run\n"
+            "spread collapsed (±0.1% vs ±12%), consistent with the\n"
+            "broadcast probe being the variance source; at web scale the\n"
+            "pair table is a checkpointed stage anyway (resume seam), so\n"
+            "the shape remains available via the env flag.  The residual\n"
+            "efficiency gap is the shared-box shuffle/DRAM ceiling, which\n"
+            "a real 4N-executor cluster does not share.\n\n"
             "The clustering stage is reported separately: large-star/small-star\n"
             "CC is fixpoint-iterative — at this fixture scale its wall is\n"
             "dominated by a fixed number of rounds (shuffle barriers), not by\n"

@@ -597,6 +597,34 @@ def incremental_dedup(
     )
 
 
+def absorb_novel_into_stage(
+    catalog,
+    name: str,
+    new_df: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    text_col: str,
+    **sig_kwargs,
+) -> str:
+    """Close the incremental-dedup loop: append the signatures of the
+    increment's NOVEL docs to the kept-corpus signature stage, so the
+    NEXT increment near-dups against them too — the full production
+    cycle (dedup increment → keep novels → extend stage) with cost
+    O(increment) at every step and the historical corpus never
+    re-scanned (VERDICT r03 #1 arc).
+
+    ``assignment`` is ``incremental_dedup``'s output for this increment
+    (id, is_novel, matched_ref_id); ``sig_kwargs`` MUST match the
+    shingle_k / num_hashes / seed the stage was built with.  Returns the
+    stage's new snapshot id."""
+    novel_ids = assignment.where(F.col("is_novel")).select("id")
+    novel = new_df.join(
+        novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    sigs = minhash_signatures(novel, id_col, text_col, **sig_kwargs)
+    return catalog.append(name, sigs)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -86,6 +86,16 @@ class Catalog:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(name))
+        try:
+            # drop any persisted plans over the old table contents — the
+            # CacheManager would otherwise substitute them into the
+            # post-write read below AND into later readers (see append)
+            if self.use_iceberg:
+                self.spark.catalog.refreshTable(f"local.db.{name}")
+            else:
+                self.spark.catalog.refreshByPath(self._path(name))
+        except Exception:
+            pass  # mocked writers in tests have no real table to refresh
 
         snapshot_id = f"{name}-{int(time.time() * 1000)}"
         per_part = (
@@ -118,6 +128,74 @@ class Catalog:
         metrics.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.root, "_metrics", name)
         )
+
+    def append(self, name: str, df: DataFrame) -> str:
+        """Append rows to a stage table (creating it if absent); returns
+        the new snapshot id.  The batch-side growth primitive behind
+        incremental pipelines (dedup.absorb_novel_into_stage): extend a
+        checkpointed table by an increment without rewriting the corpus.
+
+        Iceberg branch: ``writeTo(...).append()`` — one atomic snapshot
+        commit, object-store safe.  Parquet fallback: the increment lands
+        at uniquely-prefixed file names via a scratch dir + POSIX
+        ``os.replace`` (same local-path constraint as
+        ``foreach_batch_sink``; deploy Iceberg on object stores).
+
+        Accounting: manifest rows += increment count (one count over the
+        persisted increment, no table re-scan).  Per-partition lineage
+        metrics (_metrics) are refreshed by full ``write()`` checkpoints,
+        not appends — re-deriving them here would re-scan the whole
+        stage, exactly the cost appends exist to avoid.
+
+        Cache coherence: the append ends with ``refreshByPath`` — without
+        it, any PERSISTED plan over this stage (e.g. the previous
+        increment's tracked band-key stream) is silently substituted by
+        Spark's CacheManager into later reads of the same path, serving
+        the pre-append file listing (measured: increment C missed every
+        doc absorbed from increment B)."""
+        import glob
+        import shutil
+
+        df.persist()
+        try:
+            n = df.count()
+            if self.use_iceberg:
+                df.writeTo(f"local.db.{name}").append()
+            else:
+                path = self._path(name)
+                os.makedirs(path, exist_ok=True)
+                seq = int(time.time() * 1000)
+                scratch = path + f".__a{seq}.inprogress"
+                try:
+                    df.write.mode("overwrite").parquet(scratch)
+                    parts = sorted(glob.glob(os.path.join(scratch, "part-*")))
+                    for i, p in enumerate(parts):
+                        os.replace(
+                            p, os.path.join(path, f"a{seq}-{i:05d}.parquet")
+                        )
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
+        finally:
+            df.unpersist()
+        try:
+            if self.use_iceberg:
+                self.spark.catalog.refreshTable(f"local.db.{name}")
+            else:
+                self.spark.catalog.refreshByPath(self._path(name))
+        except Exception:
+            pass  # mocked writers in tests have no real table to refresh
+        m = self._manifest()
+        entry = m.get(name) or {
+            "schema": df.schema.simpleString(),
+            "rows": 0,
+        }
+        entry["rows"] = int(entry.get("rows") or 0) + n
+        snapshot = f"{name}-a{int(time.time() * 1000)}"
+        entry["snapshot_id"] = snapshot
+        entry["complete"] = True
+        m[name] = entry
+        self._save_manifest(m)
+        return snapshot
 
     def foreach_batch_sink(self, name: str):
         """Structured-Streaming bridge: a ``foreachBatch`` function that

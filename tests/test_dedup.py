@@ -329,6 +329,57 @@ def test_incremental_dedup_reuses_signature_stage(spark, tmp_path, docs):
     assert cat2.is_complete("sigs")
 
 
+def test_incremental_growth_cycle_absorbs_novel_docs(spark, tmp_path):
+    """Full production cycle (dedup increment → keep novels → extend the
+    signature stage): increment C must match a doc that entered the
+    corpus as a NOVEL doc of increment B, without any re-scan of corpus
+    text (the only text ever signed is each increment's own)."""
+    from entity_linking_spark.operators.dedup import (
+        absorb_novel_into_stage,
+        incremental_dedup,
+        signature_stage,
+    )
+    from entity_linking_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    corpus_a = spark.createDataFrame(
+        [("a1", "original corpus doc about rivers and bridges"),
+         ("a2", "another seed doc about mountain railways")],
+        "id string, text string",
+    )
+    sigs = signature_stage(cat, "sigs", corpus_a, "id", "text", shingle_k=2)
+    assert cat._manifest()["sigs"]["rows"] == 2
+
+    inc_b = spark.createDataFrame(
+        [("b1", "original corpus doc about rivers and bridges"),  # dup of a1
+         ("b2", "brand new article on tidal power turbines")],     # novel
+        "id string, text string",
+    )
+    asg_b = incremental_dedup(
+        inc_b, None, "id", "text", ref_sigs=sigs, shingle_k=2, threshold=0.8
+    )
+    got_b = {r["id"]: (r["is_novel"], r["matched_ref_id"]) for r in asg_b.collect()}
+    assert got_b == {"b1": (False, "a1"), "b2": (True, None)}
+
+    snap_before = cat.snapshot_id("sigs")
+    absorb_novel_into_stage(cat, "sigs", inc_b, asg_b, "id", "text", shingle_k=2)
+    assert cat.snapshot_id("sigs") != snap_before
+    assert cat._manifest()["sigs"]["rows"] == 3  # only b2 absorbed
+    sigs2 = cat.read("sigs")
+    assert sorted(r["id"] for r in sigs2.select("id").collect()) == ["a1", "a2", "b2"]
+
+    inc_c = spark.createDataFrame(
+        [("c1", "brand new article on tidal power turbines"),  # dup of B's novel
+         ("c2", "unrelated essay about glass manufacturing")],
+        "id string, text string",
+    )
+    asg_c = incremental_dedup(
+        inc_c, None, "id", "text", ref_sigs=sigs2, shingle_k=2, threshold=0.8
+    )
+    got_c = {r["id"]: (r["is_novel"], r["matched_ref_id"]) for r in asg_c.collect()}
+    assert got_c == {"c1": (False, "b2"), "c2": (True, None)}
+
+
 def test_empty_docs_never_pair(spark):
     """Empty-after-normalization docs (ADVICE r03): n_sh = 0 rows are
     excluded before banding, so empty docs neither self-pair (no all-empty

@@ -129,11 +129,19 @@ class Catalog:
             os.path.join(self.root, "_metrics", name)
         )
 
-    def append(self, name: str, df: DataFrame) -> str:
+    def append(self, name: str, df: DataFrame, tag: str | None = None) -> str:
         """Append rows to a stage table (creating it if absent); returns
         the new snapshot id.  The batch-side growth primitive behind
         incremental pipelines (dedup.absorb_novel_into_stage): extend a
         checkpointed table by an increment without rewriting the corpus.
+
+        ``tag`` makes the append IDEMPOTENT per tag (streaming replay
+        protection, streaming/dedup_stream.py): a tagged append REPLACES
+        any previous append with the same tag — parquet: deterministic
+        ``t{tag}-NNNNN.parquet`` names, stale files removed first;
+        Iceberg: overwrite-by-filter on a ``__append_tag`` column — and
+        its row count replaces the tag's manifest entry instead of
+        accumulating.
 
         Iceberg branch: ``writeTo(...).append()`` — one atomic snapshot
         commit, object-store safe.  Parquet fallback: the increment lands
@@ -157,21 +165,34 @@ class Catalog:
         import shutil
 
         df.persist()
+        seq = int(time.time() * 1000)
+        prefix = f"t{tag}" if tag is not None else f"a{seq}"
         try:
             n = df.count()
             if self.use_iceberg:
-                df.writeTo(f"local.db.{name}").append()
+                table = f"local.db.{name}"
+                if tag is not None:
+                    tagged = df.withColumn("__append_tag", F.lit(tag))
+                    if self._manifest().get(name) is None:
+                        tagged.writeTo(table).using("iceberg").createOrReplace()
+                    else:
+                        tagged.writeTo(table).overwrite(
+                            F.col("__append_tag") == F.lit(tag)
+                        )
+                else:
+                    df.writeTo(table).append()
             else:
                 path = self._path(name)
                 os.makedirs(path, exist_ok=True)
-                seq = int(time.time() * 1000)
-                scratch = path + f".__a{seq}.inprogress"
+                scratch = path + f".__{prefix}.inprogress"
                 try:
                     df.write.mode("overwrite").parquet(scratch)
+                    for old in glob.glob(os.path.join(path, f"{prefix}-*.parquet")):
+                        os.remove(old)
                     parts = sorted(glob.glob(os.path.join(scratch, "part-*")))
                     for i, p in enumerate(parts):
                         os.replace(
-                            p, os.path.join(path, f"a{seq}-{i:05d}.parquet")
+                            p, os.path.join(path, f"{prefix}-{i:05d}.parquet")
                         )
                 finally:
                     shutil.rmtree(scratch, ignore_errors=True)
@@ -189,8 +210,12 @@ class Catalog:
             "schema": df.schema.simpleString(),
             "rows": 0,
         }
-        entry["rows"] = int(entry.get("rows") or 0) + n
-        snapshot = f"{name}-a{int(time.time() * 1000)}"
+        if "base_rows" not in entry:
+            entry["base_rows"] = int(entry.get("rows") or 0)
+        appends = entry.setdefault("appends", {})
+        appends[str(tag) if tag is not None else prefix] = n
+        entry["rows"] = entry["base_rows"] + sum(appends.values())
+        snapshot = f"{name}-{prefix}-{seq}"
         entry["snapshot_id"] = snapshot
         entry["complete"] = True
         m[name] = entry

@@ -548,6 +548,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (functions/quality.py —
+    Gopher-style quality rules for web-scale training data): duplicate
+    word/2-gram/3-gram occurrence fractions + top-word frequency, all
+    pure scan-stage expressions with an exact DuckDB list-function
+    twin."""
+    from entity_linking_spark.functions.quality import (
+        dup_ngram_fraction,
+        dup_word_fraction,
+        top_word_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_word_fraction("text"), 4).alias("dup_word_frac"),
+        F.round(dup_ngram_fraction("text", n=2), 4).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction("text", n=3), 4).alias("dup_3gram_frac"),
+        F.round(top_word_fraction("text"), 4).alias("top_word_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing (documents' bytes as opaque media)
 # ---------------------------------------------------------------------------
@@ -821,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1092,6 +1115,43 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT DISTINCT id, line FROM lns WHERE length(line) >= 8)
             SELECT line, count(*) AS n_docs
             FROM d GROUP BY line HAVING count(*) >= 3
+        """,
+        "repetition_stats": """
+            -- words(): lower + trim + \\s+ split, Python-split semantics
+            -- (empty text -> []); shingles mirror word_shingles: k-slices
+            -- at positions 1..greatest(len-1_or_2, 1), short tail slices
+            -- included, a <k-word doc yielding one short shingle
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws,
+                       list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                      i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+                       list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                      i -> array_to_string(ws[i:i+2], ' ')) AS g3
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                   END AS dup_word_frac,
+                   CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+                   END AS dup_2gram_frac,
+                   CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+                   END AS dup_3gram_frac,
+                   CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     round(CAST(list_max(list_transform(list_distinct(ws),
+                           u -> len(list_filter(ws, x -> x = u)))) AS DOUBLE)
+                           / len(ws), 4)
+                   END AS top_word_frac
+            FROM g
         """,
         "token_stats": """
             SELECT doc_id,

@@ -79,6 +79,47 @@ def quality_score(col: Column | str) -> Column:
     return (len_score + word_len_score + punct_score) / 3.0
 
 
+def dup_word_fraction(col: Column | str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word in the
+    same doc: 1 − |distinct words| / |words| (0 for empty docs) — the
+    within-document repetition signal web-scale quality filters use to
+    drop degenerate/templated pages (Gopher-style repetition rules).
+    Pure scan-stage expression."""
+    ws = words(F.lower(_c(col)))
+    n = F.size(ws)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / n
+    )
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Same signal over word n-grams — catches repeated PHRASES that
+    word-level dedup misses (boilerplate refrains, copy-pasted spans).
+    Docs with < n words yield one short shingle (word_shingles
+    semantics) → fraction 0."""
+    from entity_linking_spark.functions.hashing import word_shingles
+
+    ws = words(F.lower(_c(col)))
+    grams = word_shingles(ws, k=n)
+    total = F.size(grams)
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    )
+
+
+def top_word_fraction(col: Column | str) -> Column:
+    """Frequency of the single most common word over total words (0 for
+    empty docs) — high values flag keyword-stuffed / degenerate pages.
+    O(|distinct| · |words|) per row as a pure column expression; fine
+    for document-sized inputs."""
+    ws = words(F.lower(_c(col)))
+    n = F.size(ws)
+    counts = F.transform(
+        F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.array_max(counts) / n)
+
+
 def language_id(col: Column | str) -> Column:
     """Stopword-hit language guess over {en,fr,es,de}, 'zh' when CJK chars
     dominate, 'und' when nothing matches.  Deterministic tie-break by

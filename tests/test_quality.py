@@ -14,6 +14,38 @@ from entity_linking_spark.functions.quality import (
 )
 
 
+def test_repetition_stats(spark):
+    """Hand-computed within-doc repetition fractions."""
+    from entity_linking_spark.functions.quality import (
+        dup_ngram_fraction,
+        dup_word_fraction,
+        top_word_fraction,
+    )
+
+    rows = [
+        ("r1", "buy now buy now buy now"),   # 6 words, 2 distinct
+        ("r2", "all words here are unique"),  # no repeats
+        ("r3", ""),                           # empty
+        ("r4", "one"),                        # single word
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    got = {
+        r["id"]: (r["w"], r["g2"], r["top"])
+        for r in df.select(
+            "id",
+            F.round(dup_word_fraction("t"), 4).alias("w"),
+            F.round(dup_ngram_fraction("t", 2), 4).alias("g2"),
+            F.round(top_word_fraction("t"), 4).alias("top"),
+        ).collect()
+    }
+    # r1: 6 words, 2 distinct → 4/6; 2-grams: 5 total ("buy now" ×3,
+    # "now buy" ×2), 2 distinct → 3/5; top word 3/6
+    assert got["r1"] == (pytest.approx(4 / 6, abs=1e-4), pytest.approx(3 / 5, abs=1e-4), 0.5)
+    assert got["r2"] == (0.0, 0.0, 0.2)
+    assert got["r3"] == (0.0, 0.0, 0.0)
+    assert got["r4"] == (0.0, 0.0, 1.0)
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(" a  bb   ccc ",), ("",)], "t string")
     got = [r["n"] for r in df.select(whitespace_token_count("t").alias("n")).collect()]

@@ -66,6 +66,22 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--out", default="-", help="output .md path ('-' = stdout)")
     rep.add_argument("--ks", default="1,4,8,16,32,64",
                      help="comma-separated k values")
+
+    ing = sub.add_parser(
+        "dedup-ingest",
+        help="stream documents through the incremental near-dup filter: "
+             "self-dedup each micro-batch, drop near-dups of the kept "
+             "corpus, grow the corpus + its signature stage by the novel "
+             "docs (streaming/dedup_stream.py; resumable, replay-safe)",
+    )
+    ing.add_argument("--docs", required=True,
+                     help="parquet dir to stream (id, text); new files are new increments")
+    ing.add_argument("--workdir", required=True, help="stage-table catalog root")
+    ing.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    ing.add_argument("--id-col", default="id")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--threshold", type=float, default=0.7)
+    ing.add_argument("--shingle-k", type=int, default=3)
     return p
 
 
@@ -125,6 +141,25 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.out, "w") as f:
                 f.write(text)
             print(json.dumps({"out": args.out, "ks": list(ks)}))
+        return 0
+
+    if args.cmd == "dedup-ingest":
+        from entity_linking_spark.sources.catalog import Catalog
+        from entity_linking_spark.streaming.dedup_stream import run_dedup_ingest
+
+        cat = Catalog(spark, args.workdir)
+        schema = spark.read.parquet(args.docs).schema
+        stream = spark.readStream.schema(schema).parquet(args.docs)
+        run_dedup_ingest(
+            stream, cat, args.checkpoint,
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold, shingle_k=args.shingle_k,
+        )
+        m = cat._manifest()
+        print(json.dumps({
+            "kept_docs": (m.get("kept_docs") or {}).get("rows", 0),
+            "corpus_sigs": (m.get("corpus_sigs") or {}).get("rows", 0),
+        }))
         return 0
 
     from entity_linking_spark.operators.scoring import ScoringConfig

@@ -82,6 +82,26 @@ def test_sink_replay_converges(spark, tmp_path):
     assert cat._manifest()["corpus_sigs"]["rows"] == 2
 
 
+def test_cli_dedup_ingest(spark, tmp_path, capsys):
+    """cli.py dedup-ingest drains the docs dir through the sink and
+    prints the stage row counts."""
+    import json
+
+    from entity_linking_spark.cli import main as cli_main
+
+    src = str(tmp_path / "docs")
+    _df(spark, [("a1", D_A1), ("a2", D_A1), ("a3", D_C1)]).write.parquet(src)
+    rc = cli_main([
+        "dedup-ingest", "--docs", src,
+        "--workdir", str(tmp_path / "wd"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--shingle-k", "2", "--threshold", "0.8",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"kept_docs": 2, "corpus_sigs": 2}
+
+
 def test_run_dedup_ingest_end_to_end(spark, tmp_path):
     """Real availableNow stream over a parquet source dir: two drains,
     second sees only new files; kept corpus grows by novel docs only."""

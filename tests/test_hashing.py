@@ -72,6 +72,30 @@ def test_lsh_band_keys_shape(spark):
     assert all(k.startswith("b") for k in keys)
 
 
+def test_lsh_band_keys_compact_parity(spark):
+    """compact=True folds (band idx, slice hash) to one bigint: same
+    collision structure as the string form — two rows share string band
+    key i iff they share compact band key i."""
+    df = spark.createDataFrame(
+        [(["x", "y", "z"],), (["x", "y", "z"],), (["p", "q"],)],
+        "t array<string>",
+    )
+    sig = minhash_signature("t", 16)
+    rows = df.select(
+        lsh_band_keys(sig, 4, 4).alias("s"),
+        lsh_band_keys(sig, 4, 4, compact=True).alias("c"),
+    ).collect()
+    assert all(isinstance(k, int) for r in rows for k in r["c"])
+    assert len(rows[0]["c"]) == 4
+    # identical token sets agree on every key in both forms
+    assert rows[0]["s"] == rows[1]["s"] and rows[0]["c"] == rows[1]["c"]
+    # per-band collision structure is identical across forms
+    for a in rows:
+        for b in rows:
+            for i in range(4):
+                assert (a["s"][i] == b["s"][i]) == (a["c"][i] == b["c"][i])
+
+
 def test_simhash_near_duplicates_close(spark):
     df = spark.createDataFrame(
         [

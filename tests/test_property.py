@@ -145,3 +145,65 @@ def test_embed_series_matches_scalar(texts, n):
     for t, g in zip(texts, got):
         want = _embed_one(t, 32, n).astype(np.float32)
         assert np.array_equal(np.asarray(g), want), repr(t)
+
+
+# --- WAV PCM decode: numpy round-trip against arbitrary samples -----------
+
+S16 = st.lists(st.integers(min_value=-32768, max_value=32767),
+               min_size=0, max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(S16, st.sampled_from([8000, 16000, 44100]), st.sampled_from([1, 2]))
+def test_wav_decode_roundtrip_property(samples, rate, n_ch):
+    """Any 16-bit PCM payload round-trips exactly (scaled by 2^15);
+    stereo mixes down by per-frame mean; header fields are preserved."""
+    import io
+    import wave
+
+    from entity_linking_spark.operators.multimodal import _decode_wav
+
+    arr = np.array(samples, dtype="<i2")
+    if n_ch == 2 and len(arr) % 2:
+        arr = arr[:-1]  # whole frames only
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(arr.tobytes())
+    x, got_rate, got_ch, width, n_frames = _decode_wav(buf.getvalue())
+    assert (got_rate, got_ch, width) == (rate, n_ch, 2)
+    assert n_frames == len(arr) // n_ch
+    want = arr.astype(np.float64) / 32768.0
+    if n_ch == 2:
+        want = want.reshape(-1, 2).mean(axis=1)
+    assert np.array_equal(x, want)
+
+
+# --- repetition stats: Spark expression vs scalar Python reference --------
+
+REP_TEXT = st.text(alphabet="ab c\t\nx", max_size=40)
+
+
+def ref_dup_word_fraction(t: str) -> float:
+    ws = t.lower().split()
+    return 0.0 if not ws else 1.0 - len(set(ws)) / len(ws)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(REP_TEXT, min_size=1, max_size=8))
+def test_dup_word_fraction_matches_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from entity_linking_spark.functions.quality import dup_word_fraction
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", dup_word_fraction("t").alias("f")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - ref_dup_word_fraction(t)) < 1e-12, repr(t)

@@ -155,10 +155,9 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold, shingle_k=args.shingle_k,
         )
-        m = cat._manifest()
         print(json.dumps({
-            "kept_docs": (m.get("kept_docs") or {}).get("rows", 0),
-            "corpus_sigs": (m.get("corpus_sigs") or {}).get("rows", 0),
+            "kept_docs": cat.manifest_entry("kept_docs").get("rows", 0),
+            "corpus_sigs": cat.manifest_entry("corpus_sigs").get("rows", 0),
         }))
         return 0
 

@@ -325,6 +325,11 @@ class Catalog:
     def read_metrics(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_metrics", name))
 
+    def manifest_entry(self, name: str) -> dict:
+        """The stage's manifest record (snapshot id, rows, appends,
+        batches, complete) — {} when the stage doesn't exist."""
+        return self._manifest().get(name) or {}
+
     def is_complete(self, name: str) -> bool:
         entry = self._manifest().get(name)
         return bool(entry and entry.get("complete"))

@@ -53,7 +53,7 @@ def incremental_dedup_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"b{batch_id}"
-        entry = catalog._manifest().get(sigs_stage) or {}
+        entry = catalog.manifest_entry(sigs_stage)
         if tag in (entry.get("appends") or {}):
             return  # fully-committed batch replay: nothing to redo
         batch_df.persist()

@@ -81,11 +81,15 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     getNumPartitions probe forced a plan analysis per operator call):
     ``df.inputFiles()`` lists the scan's files from the already-analyzed
     plan; byte-sized split count is estimated as Σ ceil(size /
-    maxPartitionBytes) when the files are locally statable, else the file
-    count (a LOWER bound on splits — may repartition a multi-split file
-    unnecessarily, never skips a genuinely starved scan).  A frame with
-    no input files is driver-local (createDataFrame / literal range) and
-    therefore small: repartitioning it is trivially cheap.
+    maxPartitionBytes) over locally-statable files.  A frame with no
+    input files is driver-local (createDataFrame / literal range / a
+    foreachBatch micro-batch) and therefore small: repartitioning it is
+    trivially cheap.  If ANY file is NOT locally statable (object-store
+    URI), the guard STANDS DOWN and passes the frame through — a few
+    huge S3 files are many byte-sized splits, and guessing low here
+    would inject a full-input shuffle at exactly the scale where that is
+    catastrophic; the starved-scan problem this guard exists for is a
+    small-LOCAL-input artifact.
     """
     import math
     import os
@@ -110,10 +114,9 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     for f in files:
         parsed = urlparse(f)
         local = parsed.path if parsed.scheme in ("", "file") else None
-        if local and os.path.exists(local):
-            splits += max(1, math.ceil(os.path.getsize(local) / max_bytes))
-        else:
-            splits += 1  # non-local store: count the file as one split
+        if not (local and os.path.exists(local)):
+            return df  # un-statable (object store): never guess low
+        splits += max(1, math.ceil(os.path.getsize(local) / max_bytes))
         if splits >= p:
             return df
     return df.repartition(p)

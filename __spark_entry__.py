@@ -551,23 +551,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (functions/quality.py —
     Gopher-style quality rules for web-scale training data): duplicate
-    word/2-gram/3-gram occurrence fractions + top-word frequency, all
-    pure scan-stage expressions with an exact DuckDB list-function
-    twin."""
-    from entity_linking_spark.functions.quality import (
-        dup_ngram_fraction,
-        dup_word_fraction,
-        top_word_fraction,
-    )
+    word/2-gram/3-gram occurrence fractions + top-word frequency, with an
+    exact DuckDB list-function twin.  Row-length-adaptive (VERDICT r04
+    #5): document-sized rows stay pure scan-stage expressions; rows over
+    the length threshold route top_word_frac through the explode+groupBy
+    twin (repetition_stats_table) so book-length rows cannot stall a
+    task on the O(distinct·words) HOF form."""
+    from entity_linking_spark.functions.quality import repetition_stats_table
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.round(dup_word_fraction("text"), 4).alias("dup_word_frac"),
-        F.round(dup_ngram_fraction("text", n=2), 4).alias("dup_2gram_frac"),
-        F.round(dup_ngram_fraction("text", n=3), 4).alias("dup_3gram_frac"),
-        F.round(top_word_fraction("text"), 4).alias("top_word_frac"),
-    )
+    return repetition_stats_table(docs.select("doc_id", "text"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -650,6 +643,50 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "n_bytes", "sample_rate", "n_channels",
         "sample_width", "n_frames", "duration_sec", "rms",
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.py:decode_png — stdlib
+    zlib inflate + scanline unfilter, the image twin of audio_features)
+    over deterministically constructed PNGs: doc_id < 200 each becomes an
+    RGB PNG of width 4 + doc_id%8, height 3 + doc_id%5 with constant
+    channels r = doc_id%256, g = (2·doc_id)%256, b = (3·doc_id)%256,
+    encoded with filter type doc_id%5 — so every one of the five PNG
+    unfilter paths (None/Sub/Up/Average/Paeth) is exercised under the
+    DuckDB gate, and every output field is SQL-expressible from doc_id
+    alone (constant channels ⇒ the per-channel means are exactly the
+    channel values, integer-valued doubles)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from entity_linking_spark.operators.multimodal import (
+        encode_png, image_features,
+    )
+
+    @pandas_udf(BinaryType())
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        outs = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 4 + d % 8, 3 + d % 5
+            arr = _np.zeros((h, w, 3), dtype=_np.uint8)
+            arr[:, :, 0] = d % 256
+            arr[:, :, 1] = (2 * d) % 256
+            arr[:, :, 2] = (3 * d) % 256
+            outs.append(encode_png(arr, filter_type=d % 5))
+        return pd.Series(outs)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        make_png("doc_id").alias("content"),
+    )
+    return image_features(media).select(
+        "media_id", "width", "height", "channels", "bit_depth",
+        "mean_r", "mean_g", "mean_b",
     )
 
 
@@ -852,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "connected_components": q_connected_components,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1294,6 +1332,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(800 + (doc_id % 40) * 80 AS BIGINT) AS n_frames,
                    CAST(800 + (doc_id % 40) * 80 AS DOUBLE) / 8000.0 AS duration_sec,
                    CAST(1000 + doc_id % 100 AS DOUBLE) / 32768.0 AS rms
+            FROM documents WHERE doc_id < 200
+        """,
+        "image_features": """
+            -- the PNG construction is deterministic from doc_id (see
+            -- q_image_features): constant-channel RGB images, so the
+            -- decoded per-channel means equal the channel byte values
+            -- exactly (integer-valued doubles, no rounding)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(4 + doc_id % 8 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 5 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(8 AS INTEGER) AS bit_depth,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((2 * doc_id) % 256 AS DOUBLE) AS mean_g,
+                   CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_b
             FROM documents WHERE doc_id < 200
         """,
         "connected_components": """

@@ -160,20 +160,65 @@ def el_hot_path(spark, fixture_dir: str):
     return n_pairs, n_nodes
 
 
-def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500) -> dict:
-    """Recall@k of the approximate ANN paths vs brute force on the REAL
-    sf embeddings corpus (VERDICT r03 #8: the recall gates live in
-    tests/test_ann.py on clustered fixtures; this records the
-    quality-vs-speed tradeoff on the bench corpus round-over-round).
-    Untimed — a quality metric, not a throughput one.  Note the bench
-    corpus is near-uniform (max pair cosine ≈ 0.51), the hard case for
-    locality-sensitive methods; clustered corpora score far higher."""
-    from pyspark.sql import functions as F
-
+def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
+    """Recall@k vs brute force for: the historical default LSH point, the
+    ``choose_lsh_params``-selected config for ``target``, and the IVF
+    point — on one (queries, corpus) pair."""
     from entity_linking_spark.operators._cache import release_cached
     from entity_linking_spark.operators.ann import (
-        brute_force_topk, ivf_topk, lsh_topk,
+        brute_force_topk, choose_lsh_params, ivf_topk, lsh_topk,
     )
+
+    exact = brute_force_topk(q, c, k=k).select("query_id", "corpus_id").persist()
+    denom = exact.count()
+
+    def lsh_recall(**params):
+        hits = (
+            lsh_topk(q, c, dim=dim, k=k, **params)
+            .select("query_id", "corpus_id").intersect(exact).count()
+        )
+        release_cached()
+        return round(hits / denom, 4)
+
+    lsh_default = {"num_planes": 6, "num_tables": 8}
+    chosen = choose_lsh_params(
+        c, dim=dim, k=k, target_recall=target, max_tables=32
+    )
+    chosen_knobs = {kk: chosen[kk]
+                    for kk in ("num_planes", "num_tables", "multi_probe")}
+    ivf_params = {"num_centroids": 16, "nprobe": 4}
+    ivf_hits = (
+        ivf_topk(q, c, dim=dim, k=k, **ivf_params)
+        .select("query_id", "corpus_id").intersect(exact).count()
+    )
+    release_cached()
+    out = {
+        "lsh": {"recall": lsh_recall(**lsh_default), **lsh_default},
+        "lsh_target": {
+            "recall": lsh_recall(**chosen_knobs),
+            "target": target,
+            "predicted_recall": chosen["predicted_recall"],
+            "met_target": chosen["met_target"],
+            **chosen_knobs,
+        },
+        "ivf": {"recall": round(ivf_hits / denom, 4), **ivf_params},
+    }
+    exact.unpersist()
+    return out
+
+
+def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500,
+                     target: float = 0.9) -> dict:
+    """Recall@k of the approximate ANN paths vs brute force (VERDICT r03
+    #8 + r04 #3): on the REAL sf embeddings corpus (near-uniform, max
+    pair cosine ≈ 0.51 — the hard case where defaults score low and the
+    chooser honestly reports whether the target is reachable) AND on a
+    deterministic clustered corpus (the workload LSH is for).  For each,
+    the historical default point, the choose_lsh_params config for the
+    stated target, and IVF are all recorded — the recall/param frontier,
+    not one point.  Untimed — a quality metric, not a throughput one."""
+    import numpy as np
+    from pyspark.sql import functions as F
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()[0])
@@ -181,24 +226,31 @@ def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500) -> d
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = brute_force_topk(q, c, k=k).select("query_id", "corpus_id").persist()
-    denom = exact.count()
+    uniform = _recall_suite(spark, q, c, dim, k, target)
+    corpus_size = c.count()
 
-    lsh_params = {"num_planes": 6, "num_tables": 8}
-    ivf_params = {"num_centroids": 16, "nprobe": 4}
-    approx_lsh = lsh_topk(q, c, dim=dim, k=k, **lsh_params)
-    lsh_hits = approx_lsh.select("query_id", "corpus_id").intersect(exact).count()
-    release_cached()
-    approx_ivf = ivf_topk(q, c, dim=dim, k=k, **ivf_params)
-    ivf_hits = approx_ivf.select("query_id", "corpus_id").intersect(exact).count()
-    release_cached()
-    exact.unpersist()
+    # clustered corpus: 50 well-separated centers, tight noise — the
+    # realistic near-dup/retrieval shape (deterministic, seed fixed)
+    rng = np.random.RandomState(42)
+    centers = rng.standard_normal((50, dim)) * 3
+    vecs = centers[np.arange(2000) % 50] + rng.standard_normal((2000, dim)) * 0.15
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(2000)],
+        "vec_id long, embedding array<float>",
+    )
+    qc = cdf.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cc = cdf.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    clustered = _recall_suite(spark, qc, cc, dim, k, target)
+
     return {
         "k": k,
         "n_queries": n_queries,
-        "corpus_size": c.count(),
-        "lsh": {"recall": round(lsh_hits / denom, 4), **lsh_params},
-        "ivf": {"recall": round(ivf_hits / denom, 4), **ivf_params},
+        "corpus_size": corpus_size,
+        **uniform,
+        "clustered": clustered,
     }
 
 
@@ -583,11 +635,50 @@ def run_scaling() -> dict:
     return report
 
 
+def run_el_probe(cores: int) -> dict:
+    """One fresh-JVM measurement of the HEADLINE el_pipeline region —
+    exactly run_headline's protocol (same fixture, same warm-up, same
+    cold-then-timed split) but nothing else, so repeated invocations in
+    sequential JVMs give an interleaved distribution for the r4 → r5
+    bench-swing adjudication (VERDICT r04 task #2)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_linking_spark.operators._cache import release_cached
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark(app_name=f"el-ab-{os.getpid()}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    fixture = ensure_bench_fixture(spark)
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        return x * 1.0
+
+    spark.range(200_000).repartition(2 * cores).select(
+        F.sum(_warm_udf(F.col("id").cast("double")))
+    ).collect()
+
+    t0 = time.time()
+    el_hot_path(spark, fixture)
+    cold = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    release_cached()
+    t0 = time.time()
+    n_pairs, n_nodes = el_hot_path(spark, fixture)
+    wall = round(time.time() - t0, 3)
+    spark.stop()
+    return {"cores": cores, "el_wall_warm": wall, "el_wall_cold": cold,
+            "pairs": n_pairs, "cc_nodes": n_nodes}
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--kernel-scaling" in sys.argv:
         print(json.dumps(run_kernel_scaling()))
+    elif "--el-probe" in sys.argv:
+        print(json.dumps(run_el_probe(CPUS)))
     elif "--probe" in sys.argv:
         print(json.dumps(run_probe(CPUS)))
     else:

@@ -27,22 +27,48 @@ def _c(col: Column | str) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
-    """Array of character n-grams; a string shorter than n yields itself."""
+    """Array of character n-grams; a string shorter than n yields itself.
+
+    CAPTURE-FREE shape (r5 — CLAUDE.md rule 6's HOF-lambda corollary):
+    ``zip_with``'s ARGUMENT arrays are evaluated once per row, then the
+    n shifted slices of the char array are zipped with a null-skipping
+    concat.  The previous ``transform(sequence, i -> substr(c, i, n))``
+    captured the string EXPRESSION inside the lambda, and HOF lambdas
+    re-evaluate captured subtrees PER ELEMENT (CodegenFallback, no CSE)
+    — O(len) re-evaluations of the upstream normalize/lower chain per
+    row, i.e. O(len²) per document."""
     c = _c(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
-        lambda i: c.substr(i, F.lit(n)),
-    )
+    chars = F.split(c, "")
+    n_g = F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
+    grams = F.slice(chars, 1, n_g)
+    for j in range(1, n):
+        # shorter shifted slices zip-pad with null; concat_ws skips
+        # nulls, reproducing the short tail gram of a string < n chars
+        grams = F.zip_with(
+            grams, F.slice(chars, j + 1, n_g), lambda a, b: F.concat_ws("", a, b)
+        )
     return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(words_col: Column | str, k: int = 2) -> Column:
-    """Array of k-word shingles from an array<string> of words."""
+    """Array of k-word shingles from an array<string> of words.
+
+    CAPTURE-FREE shape (r5, same corollary as ``char_ngrams``): the k
+    shifted slices of the word array are zip_with-ed (arguments
+    evaluated once per row) instead of a transform lambda slicing a
+    captured copy of the tokenizer expression per position — which made
+    shingling O(words × tokenize) per row, measured MINUTES on a
+    500k-word document and a hidden constant on every corpus-scale
+    signature scan.  An empty word array still yields [""] (the
+    empty-doc sentinel the MinHash family filters on)."""
     w = _c(words_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-    )
+    n_sh = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    sh = F.slice(w, 1, n_sh)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(w, j + 1, n_sh), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(sh)
 
 
 MASK_31 = (1 << 31) - 1  # low-31-bit mask: (h & MASK_31) ≡ h mod 2^31

@@ -133,3 +133,65 @@ def language_id(col: Column | str) -> Column:
     for lang in sorted(STOPWORDS):
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+def top_word_fraction_agg(df, id_col: str, text_col) -> "DataFrame":  # noqa: F821
+    """(id, top_word_frac) via explode + two hash aggregations — the
+    DataFrame-level twin of ``top_word_fraction`` for LONG rows (VERDICT
+    r04 #5): the column form is O(|distinct| · |words|) per row (HOF
+    nested filter), fine for document-sized inputs but quadratic-ish on
+    book-length rows; this shape is O(words) scan + shuffle on (id,
+    word), bounded per row.  Empty docs yield 0.0 (explode_outer keeps
+    them as a null-word row; the conditional aggregates ignore it)."""
+    ws = words(F.lower(_c(text_col)))
+    ex = df.select(F.col(id_col), F.explode_outer(ws).alias("__w"))
+    per_word = ex.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    return per_word.groupBy(id_col).agg(
+        F.max(F.when(F.col("__w").isNotNull(), F.col("__c"))).alias("__mx"),
+        F.sum(
+            F.when(F.col("__w").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+        ).alias("__tot"),
+    ).select(
+        id_col,
+        F.when(F.col("__tot") == 0, F.lit(0.0))
+        .otherwise(F.col("__mx") / F.col("__tot"))
+        .alias("top_word_frac"),
+    )
+
+
+def repetition_stats_table(
+    df, id_col: str, text_col: str, hof_max_chars: int = 20_000
+) -> "DataFrame":  # noqa: F821
+    """Per-doc repetition signals with a ROW-LENGTH-ADAPTIVE top-word
+    path (VERDICT r04 #5): rows at or under ``hof_max_chars`` compute all
+    four signals in the scan projection (zero shuffle — the common web
+    -document case); longer rows route ``top_word_frac`` through the
+    explode+groupBy twin so a book-length row cannot stall its task on
+    the O(distinct·words) HOF expression.  Column set matches the
+    repetition_stats driver query: (id, dup_word_frac, dup_2gram_frac,
+    dup_3gram_frac, top_word_frac), fractions rounded to 4 places."""
+    is_short = F.length(F.col(text_col)) <= hof_max_chars
+
+    def scan_cols():
+        return [
+            F.round(dup_word_fraction(text_col), 4).alias("dup_word_frac"),
+            F.round(dup_ngram_fraction(text_col, n=2), 4).alias("dup_2gram_frac"),
+            F.round(dup_ngram_fraction(text_col, n=3), 4).alias("dup_3gram_frac"),
+        ]
+
+    short = df.where(is_short).select(
+        F.col(id_col),
+        *scan_cols(),
+        F.round(top_word_fraction(text_col), 4).alias("top_word_frac"),
+    )
+    long_rows = df.where(~is_short)
+    twf = top_word_fraction_agg(long_rows, id_col, text_col)
+    long_out = (
+        long_rows.select(F.col(id_col), *scan_cols())
+        .join(twf, id_col)
+        .select(
+            id_col, "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+            F.round(F.col("top_word_frac"), 4).alias("top_word_frac"),
+        )
+    )
+    return short.unionByName(long_out)

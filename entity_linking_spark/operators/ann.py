@@ -122,6 +122,9 @@ def _lsh_candidates(
     cp: DataFrame,
     bucket_udf,
     exclude_self: bool,
+    max_bucket: int | None = 100_000,
+    multi_probe: bool = False,
+    num_planes: int | None = None,
 ) -> DataFrame:
     """Distinct (query_id, corpus_id) candidates from the bucket equi-join.
 
@@ -132,14 +135,62 @@ def _lsh_candidates(
     (the same compact-key win blocking measured, operators/blocking.py
     BlockingConfig.compact_keys; VERDICT r02 finding #5).  A rare hash
     collision merely merges two buckets — extra candidates are scored
-    exactly downstream, so recall is unaffected."""
+    exactly downstream, so recall is unaffected.
+
+    Bucket-size guard (VERDICT r04 #3/#4): a degenerate corpus (many
+    near-identical embeddings collapsing into one bucket) would make the
+    bucket join quadratic.  Buckets where EITHER side exceeds
+    ``max_bucket`` are dropped via the INVERTED shape: the over-cap
+    bucket set — tiny by pigeonhole, ≤ |keys| / max_bucket rows — is
+    broadcast and both key streams anti-join against it; the under-cap
+    complement (corpus-proportional) is never broadcast.  Identical
+    embeddings that common are an exact-dedup problem, not an ANN one.
+    ``max_bucket=None`` disables the guard (and its two aggregations).
+
+    ``multi_probe=True`` (requires ``num_planes``): each QUERY also
+    probes the ``num_planes`` Hamming-distance-1 buckets of every table
+    (bucket id XOR each single bit) — (1+num_planes)× query-side keys
+    for a recall boost comparable to adding num_planes tables, without
+    re-bucketing the corpus (the standard multi-probe LSH trade)."""
+    from entity_linking_spark.operators._cache import track
+
     bkey = F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
-    qk = qp.select(
+    q_exploded = qp.select(
         "query_id", F.posexplode(bucket_udf(F.col("q_pemb"))).alias("table", "bucket")
-    ).select("query_id", bkey)
+    )
+    if multi_probe:
+        if num_planes is None:
+            raise ValueError("multi_probe requires num_planes")
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(num_planes)
+            ],
+        )
+        q_exploded = q_exploded.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
+    qk = q_exploded.select("query_id", bkey)
     ck = cp.select(
         "corpus_id", F.posexplode(bucket_udf(F.col("c_pemb"))).alias("table", "bucket")
     ).select("corpus_id", bkey)
+    if max_bucket is not None:
+        qk = track(qk)
+        ck = track(ck)
+        qk.count()  # eager: consumed by the over-cap agg + the join side
+        ck.count()  # (racing branches would recompute the bucket UDF)
+        over = F.broadcast(
+            qk.groupBy("bkey").agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket).select("bkey")
+            .unionByName(
+                ck.groupBy("bkey").agg(F.count("*").alias("n"))
+                .where(F.col("n") > max_bucket).select("bkey")
+            )
+            .distinct()
+        )
+        qk = qk.join(over, "bkey", "left_anti")
+        ck = ck.join(over, "bkey", "left_anti")
     cand = qk.join(ck, "bkey").select("query_id", "corpus_id")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("corpus_id"))
@@ -168,9 +219,14 @@ def lsh_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     exclude_self: bool = True,
+    max_bucket: int | None = 100_000,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Sign-LSH bucketed cosine top-k (approximate; recall grows with
-    num_tables, bucket size shrinks with num_planes).
+    num_tables, bucket size shrinks with num_planes; ``multi_probe``
+    additionally probes all Hamming-1 buckets per table — see
+    ``_lsh_candidates`` — and ``choose_lsh_params`` picks these knobs
+    for a target recall).
 
     Physical plan: pack → id-only bucket join → candidate dedup →
     re-attach packed embeddings → exact cosine → per-query top-k.  See
@@ -178,7 +234,10 @@ def lsh_topk(
     bucket_udf = make_bucket_udf(dim, num_planes, num_tables, seed)
     qp = _pack_side(queries, query_id, "query_id", "q_pemb")
     cp = _pack_side(corpus, corpus_id, "corpus_id", "c_pemb")
-    cand = _lsh_candidates(qp, cp, bucket_udf, exclude_self)
+    cand = _lsh_candidates(
+        qp, cp, bucket_udf, exclude_self,
+        max_bucket=max_bucket, multi_probe=multi_probe, num_planes=num_planes,
+    )
     scored = _score_candidates(cand, qp, cp)
     return top_k_per_group(
         scored,
@@ -317,6 +376,7 @@ def embedding_dedup_pairs(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b).
 
@@ -329,12 +389,110 @@ def embedding_dedup_pairs(
     cp = qp.select(
         F.col("query_id").alias("corpus_id"), F.col("q_pemb").alias("c_pemb")
     )
-    cand = _lsh_candidates(qp, cp, bucket_udf, exclude_self=True).where(
-        F.col("query_id") < F.col("corpus_id")
-    )
+    cand = _lsh_candidates(
+        qp, cp, bucket_udf, exclude_self=True, max_bucket=max_bucket
+    ).where(F.col("query_id") < F.col("corpus_id"))
     scored = _score_candidates(cand, qp, cp)
     return scored.where(F.col("cosine") >= threshold).select(
         F.col("query_id").alias("id_a"),
         F.col("corpus_id").alias("id_b"),
         "cosine",
     )
+
+
+def _predicted_lsh_recall(
+    angles: np.ndarray, num_planes: int, num_tables: int, multi_probe: bool
+) -> float:
+    """Closed-form sign-LSH recall prediction for true-neighbor pairs at
+    the given angles (radians): per-hyperplane agreement p = 1 - θ/π,
+    per-table collision p^b (plus the b Hamming-1 probe buckets,
+    b·p^(b-1)·(1-p), when multi-probing), any-table hit
+    1 - (1 - p_table)^T, averaged over the angle sample."""
+    p = np.clip(1.0 - angles / np.pi, 0.0, 1.0)
+    p_table = p**num_planes
+    if multi_probe:
+        p_table = p_table + num_planes * p ** (num_planes - 1) * (1.0 - p)
+    return float(np.mean(1.0 - (1.0 - np.clip(p_table, 0.0, 1.0)) ** num_tables))
+
+
+def choose_lsh_params(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    target_recall: float = 0.9,
+    corpus_id: str = "corpus_id",
+    sample: int = 512,
+    planes_grid: tuple = (4, 6, 8, 10, 12),
+    max_tables: int = 64,
+    allow_multi_probe: bool = True,
+    seed: int = 42,
+) -> dict:
+    """Pick (num_planes, num_tables, multi_probe) for ``lsh_topk`` to hit
+    a TARGET recall@k on THIS corpus (VERDICT r04 #2: the defaults gave a
+    silent 0.36 recall on a near-uniform corpus with no knob pointed at
+    recall — the reference's entire published result is a recall table,
+    src/eval_zeshel.py:46-53 / src/generate_plots.py:8-10).
+
+    Method: a bounded, order-deterministic driver-side sample (the
+    ``_fit_quantizer`` recipe — orderBy(xxhash64(id)), limit) estimates
+    the angle distribution of TRUE top-k neighbor pairs; the sign-LSH
+    collision probability is then closed-form per (planes, tables,
+    multi_probe), so the grid is searched analytically — no Spark jobs
+    beyond the one sample scan.  Among configs whose predicted recall
+    meets the target, the one with the least predicted candidate work
+    (∝ tables · probes / 2^planes per corpus vector) wins; if none
+    reaches the target (pathologically uniform corpora), the
+    max-predicted-recall config is returned with ``met_target=False`` —
+    the honest fallback is ``brute_force_topk`` or IVF with high nprobe.
+
+    Returns {"num_planes", "num_tables", "multi_probe",
+    "predicted_recall", "met_target"} — splat the first three into
+    ``lsh_topk(**params)``."""
+    rows = (
+        corpus.where(F.col("embedding").isNotNull())
+        .select(F.col(corpus_id).alias("__cid"), "embedding")
+        .orderBy(F.xxhash64(F.col("__cid")), F.col("__cid"))
+        .limit(sample)
+        .toPandas()["embedding"]
+    )
+    mat = np.array([np.asarray(x, dtype=np.float64) for x in rows])
+    if len(mat) < 2:
+        raise ValueError("choose_lsh_params: need ≥2 non-null embeddings")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    kk = min(k, len(mat) - 1)
+    # top-k cosine per sample row → the angle distribution the tables
+    # must recover; sample-vs-sample top-k is a stand-in for
+    # sample-vs-corpus (angles of true neighbors shift only mildly with
+    # corpus size for the purpose of choosing integer knobs)
+    top = np.sort(sims, axis=1)[:, -kk:]
+    angles = np.arccos(np.clip(top, -1.0, 1.0)).ravel()
+
+    best, best_cost = None, None
+    fallback, fallback_recall = None, -1.0
+    for planes in planes_grid:
+        for mp in ((False, True) if allow_multi_probe else (False,)):
+            probes = 1 + planes if mp else 1
+            for tables in range(1, max_tables + 1):
+                r = _predicted_lsh_recall(angles, planes, tables, mp)
+                if r > fallback_recall:
+                    fallback_recall = r
+                    fallback = (planes, tables, mp, r)
+                if r >= target_recall:
+                    cost = tables * probes / float(2**planes)
+                    if best_cost is None or cost < best_cost:
+                        best_cost = cost
+                        best = (planes, tables, mp, r)
+                    break  # more tables only cost more at same planes/mp
+    met = best is not None
+    planes, tables, mp, r = best if met else fallback
+    return {
+        "num_planes": planes,
+        "num_tables": tables,
+        "multi_probe": mp,
+        "predicted_recall": round(r, 4),
+        "met_target": met,
+    }

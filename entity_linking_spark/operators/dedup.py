@@ -101,7 +101,30 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     except Exception:
         files = []
     if not files:
-        return df.repartition(p)
+        # No file list ≠ small (ADVICE r04): JDBC / non-file micro-batch
+        # sources report no input files but can be arbitrarily large — an
+        # unconditional repartition would inject a full-input shuffle.
+        # Widen ONLY frames KNOWN bounded: every leaf of the optimized
+        # logical plan is a LocalRelation / LogicalRDD — createDataFrame
+        # rows (driver-local by construction: Python createDataFrame
+        # parallelizes a collected local batch) or a foreachBatch
+        # micro-batch (trigger-bounded, and usually starved — widening
+        # is exactly what the streaming ingest wants).  Anything else
+        # (JDBC relation, Range, a V2 source) can be arbitrarily large
+        # and passes through untouched.  Leaf inspection is a
+        # logical-plan walk — no RDD conversion (the r03 partition-count
+        # probe forced physical planning per call; the no-RDD invariant
+        # is pytest-gated).
+        try:
+            leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+            names = {
+                leaves.apply(i).nodeName() for i in range(leaves.size())
+            }
+        except Exception:
+            return df  # un-introspectable (e.g. Connect): never guess
+        if names and names <= {"LocalRelation", "OneRowRelation", "LogicalRDD"}:
+            return df.repartition(p)
+        return df
     max_bytes_conf = df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728"
     )
@@ -148,14 +171,24 @@ def _pair_candidates_by_key(keys: DataFrame, max_bucket: int = 10_000) -> DataFr
 
     Buckets larger than ``max_bucket`` are dropped (quadratic blowup guard:
     a 10^6-doc bucket would emit 10^12 pairs); near-dup content that common
-    is caught by the exact-dedup pass instead."""
+    is caught by the exact-dedup pass instead.
+
+    INVERTED guard (VERDICT r04 #1): the broadcast side is the OVER-cap
+    key set, which is tiny by construction — at most |keys| / max_bucket
+    distinct keys can exceed the cap (pigeonhole), so at 10^12 exploded
+    keys and the default cap that is ≤ 10^8 bigints, and in practice
+    orders of magnitude fewer.  The big key stream anti-joins against it
+    and never stops streaming.  The r04 shape broadcast the UNDER-cap
+    complement — O(docs × bands) distinct keys, a forced corpus-sized
+    broadcast that ignores autoBroadcastJoinThreshold and OOMs at the
+    target scale."""
     from entity_linking_spark.operators._cache import track
 
     keys = track(keys)
     keys.count()  # eager: consumed by the size agg and both join sides
     sizes = keys.groupBy("key").agg(F.count("*").alias("n"))
-    ok = F.broadcast(sizes.where(F.col("n") <= max_bucket).select("key"))
-    k = keys.join(ok, "key")
+    over = F.broadcast(sizes.where(F.col("n") > max_bucket).select("key"))
+    k = keys.join(over, "key", "left_anti")
     a = k.select("key", F.col("id").alias("id_a"))
     b = k.select("key", F.col("id").alias("id_b"))
     return (
@@ -372,6 +405,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 10_000,
+    seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: word-shingle sets → signatures → band
     bucket join → signature-agreement estimate of Jaccard ≥ threshold.
@@ -396,7 +430,8 @@ def minhash_lsh_pairs(
 
     sigs = track(
         minhash_signatures(
-            df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+            df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes,
+            seed=seed,
         )
     )
     sigs.count()  # eager: consumed by band keys + both verification joins
@@ -450,7 +485,16 @@ def _bipartite_candidates_by_key(
     incremental dedup: only keys present on BOTH sides can produce a
     pair, and either side's bucket exceeding ``max_bucket`` drops the
     key (fan-out is |new bucket| × |ref bucket|, so the guard must bind
-    both).  Ids live in separate namespaces — no id_a < id_b ordering."""
+    both).  Ids live in separate namespaces — no id_a < id_b ordering.
+
+    INVERTED guard (VERDICT r04 #1, same shape as
+    ``_pair_candidates_by_key``): broadcast the tiny union of either
+    side's OVER-cap keys (≤ (|new keys| + |ref keys|) / max_bucket rows
+    by pigeonhole) and anti-join both streams against it; the previous
+    under-cap-intersection broadcast was O(increment ∩ ref keys) — a
+    large backfill increment forced a corpus-sized broadcast.  The
+    both-sides-present requirement needs no broadcast at all: the final
+    inner join on key intersects the streams for free."""
     from entity_linking_spark.operators._cache import track
 
     new_keys = track(new_keys)
@@ -459,13 +503,13 @@ def _bipartite_candidates_by_key(
     ref_keys.count()
     nf = new_keys.groupBy("key").agg(F.count("*").alias("n_new"))
     rf = ref_keys.groupBy("key").agg(F.count("*").alias("n_ref"))
-    ok = F.broadcast(
-        nf.join(rf, "key")
-        .where((F.col("n_new") <= max_bucket) & (F.col("n_ref") <= max_bucket))
-        .select("key")
+    over = F.broadcast(
+        nf.where(F.col("n_new") > max_bucket).select("key")
+        .unionByName(rf.where(F.col("n_ref") > max_bucket).select("key"))
+        .distinct()
     )
-    a = new_keys.join(ok, "key").select("key", F.col("id").alias("new_id"))
-    b = ref_keys.join(ok, "key").select("key", F.col("id").alias("ref_id"))
+    a = new_keys.join(over, "key", "left_anti").select("key", F.col("id").alias("new_id"))
+    b = ref_keys.join(over, "key", "left_anti").select("key", F.col("id").alias("ref_id"))
     return a.join(b, "key").select("new_id", "ref_id").distinct()
 
 
@@ -480,6 +524,7 @@ def minhash_lsh_pairs_against(
     threshold: float = 0.7,
     max_bucket: int = 10_000,
     ref_sigs: DataFrame | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard_est): near-dups of NEW docs against an
     existing REFERENCE corpus — the incremental shape of training-data
@@ -514,7 +559,8 @@ def minhash_lsh_pairs_against(
     def _sigs(side: DataFrame) -> DataFrame:
         s = track(
             minhash_signatures(
-                side, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+                side, id_col, text_col, shingle_k=shingle_k,
+                num_hashes=num_hashes, seed=seed,
             )
         )
         s.count()  # eager: consumed by band keys + the verification join
@@ -723,10 +769,14 @@ def line_dedup_pairs(
             "id", F.xxhash64("line").alias("key")
         )
     )
-    # (id, line) is distinct per doc, so count(*) per key == doc frequency
+    # (id, line) is distinct per doc, so count(*) per key == doc frequency.
+    # Inverted guard (VERDICT r04 #1): broadcast the tiny OVER-cap line
+    # set (≤ |lines| / max_doc_freq keys by pigeonhole — the site-wide
+    # boilerplate lines) and anti-join; the under-cap complement is
+    # O(docs × lines) and must never be force-broadcast.
     freq = keys.groupBy("key").agg(F.count("*").alias("n"))
-    ok = F.broadcast(freq.where(F.col("n") <= max_doc_freq).select("key"))
-    k = keys.join(ok, "key")
+    hot = F.broadcast(freq.where(F.col("n") > max_doc_freq).select("key"))
+    k = keys.join(hot, "key", "left_anti")
     a = k.withColumnRenamed("id", "id_a")
     b = k.withColumnRenamed("id", "id_b")
     inter = (

@@ -56,6 +56,76 @@ class Catalog:
             json.dump(m, f, indent=2, sort_keys=True)
         os.replace(tmp, self._manifest_path)
 
+    def _manifest_lock(self):
+        """Exclusive advisory lock for the manifest READ-MODIFY-WRITE
+        cycle (VERDICT r04 #4): ``os.replace`` makes each save atomic,
+        but two concurrent writers (two streams appending to different
+        stages, a stream plus a batch append) interleaving
+        read→mutate→save were last-writer-wins — one stage's update
+        silently vanished.  ``flock`` binds to the open file description,
+        so it serializes both threads of one driver and separate driver
+        processes on POSIX filesystems (same constraint family as the
+        parquet append path; on object stores deploy Iceberg, whose
+        snapshot commit is the atomic primitive)."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            with open(self._manifest_path + ".lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return lock()
+
+    def _update_manifest(self, name: str, mutate) -> dict:
+        """Atomically apply ``mutate(entry_or_None) -> entry`` to one
+        stage's manifest record under the manifest lock."""
+        with self._manifest_lock():
+            m = self._manifest()
+            entry = mutate(m.get(name))
+            m[name] = entry
+            self._save_manifest(m)
+            return entry
+
+    @staticmethod
+    def _seed_base_rows(entry: dict) -> None:
+        """Unified growth accounting (ADVICE r04): every entry carries
+        ``base_rows`` (rows written by the last full ``write()``), and
+        ``rows`` is always base_rows + Σ appends + Σ batches, whichever
+        growth modes touched the stage.  Migration for pre-r5 records:
+        sink-only stages carried any pre-existing rows as
+        ``batches["legacy"]`` (so base_rows seeds to 0 — the batches sum
+        already counts them); write()-only stages carried them as
+        ``rows``."""
+        if "base_rows" not in entry:
+            grew = entry.get("batches") or entry.get("appends")
+            entry["base_rows"] = 0 if grew else int(entry.get("rows") or 0)
+
+    @staticmethod
+    def _recount(entry: dict) -> None:
+        entry["rows"] = (
+            int(entry.get("base_rows") or 0)
+            + sum(entry.get("appends", {}).values())
+            + sum(entry.get("batches", {}).values())
+        )
+
+    def _iceberg_table_exists(self, name: str) -> bool:
+        """Create-vs-grow decision for the Iceberg branch keys on TABLE
+        existence, not on the manifest alone (ADVICE r04: a lost manifest
+        entry while the table exists must not let createOrReplace wipe
+        it); the manifest is the fallback signal when the catalog lookup
+        itself is unavailable (mocked tests / misconfigured catalog)."""
+        try:
+            if self.spark.catalog.tableExists(f"local.db.{name}"):
+                return True
+        except Exception:
+            pass
+        return bool(self._manifest().get(name))
+
     # -- table IO -----------------------------------------------------------
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -77,7 +147,15 @@ class Catalog:
         re-read the table twice — count + metrics — which at 100 TB is
         two extra full scans per checkpoint.)"""
         if self.use_iceberg:
-            writer = df.writeTo(f"local.db.{name}").using("iceberg")
+            # helper columns stamped on EVERY Iceberg write path (write /
+            # append / streaming sink — ADVICE r04): tagged appends
+            # overwrite by __append_tag and the sink by __batch_id, so
+            # the columns must exist no matter which mode created the
+            # table; read() drops them.
+            stamped = df.withColumn(
+                "__append_tag", F.lit(None).cast("string")
+            ).withColumn("__batch_id", F.lit(None).cast("long"))
+            writer = stamped.writeTo(f"local.db.{name}").using("iceberg")
             if partition_by:
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             writer.createOrReplace()
@@ -107,14 +185,16 @@ class Catalog:
         )
         rows = sum(r["rows"] for r in per_part)
         self._write_lineage_metrics(name, snapshot_id, per_part)
-        m = self._manifest()
-        m[name] = {
-            "snapshot_id": snapshot_id,
-            "rows": rows,
-            "schema": df.schema.simpleString(),
-            "complete": True,
-        }
-        self._save_manifest(m)
+        self._update_manifest(
+            name,
+            lambda _old: {
+                "snapshot_id": snapshot_id,
+                "rows": rows,
+                "base_rows": rows,
+                "schema": df.schema.simpleString(),
+                "complete": True,
+            },
+        )
         return snapshot_id
 
     def _write_lineage_metrics(self, name: str, snapshot_id: str, per_part) -> None:
@@ -163,24 +243,32 @@ class Catalog:
         doc absorbed from increment B)."""
         import glob
         import shutil
+        import uuid
 
         df.persist()
         seq = int(time.time() * 1000)
-        prefix = f"t{tag}" if tag is not None else f"a{seq}"
+        # untagged prefix carries a uuid suffix: two untagged appends in
+        # the same millisecond (or from concurrent drivers) must never
+        # share a prefix — the glob cleanup would delete the earlier
+        # increment's files (ADVICE r04)
+        prefix = f"t{tag}" if tag is not None else f"a{seq}-{uuid.uuid4().hex[:8]}"
         try:
             n = df.count()
             if self.use_iceberg:
                 table = f"local.db.{name}"
-                if tag is not None:
-                    tagged = df.withColumn("__append_tag", F.lit(tag))
-                    if self._manifest().get(name) is None:
-                        tagged.writeTo(table).using("iceberg").createOrReplace()
-                    else:
-                        tagged.writeTo(table).overwrite(
-                            F.col("__append_tag") == F.lit(tag)
-                        )
+                # __append_tag/__batch_id stamped on every write path so
+                # any growth-mode mix keeps one table schema (ADVICE r04)
+                tagged = df.withColumn(
+                    "__append_tag", F.lit(tag).cast("string")
+                ).withColumn("__batch_id", F.lit(None).cast("long"))
+                if not self._iceberg_table_exists(name):
+                    tagged.writeTo(table).using("iceberg").createOrReplace()
+                elif tag is not None:
+                    tagged.writeTo(table).overwrite(
+                        F.col("__append_tag") == F.lit(tag)
+                    )
                 else:
-                    df.writeTo(table).append()
+                    tagged.writeTo(table).append()
             else:
                 path = self._path(name)
                 os.makedirs(path, exist_ok=True)
@@ -205,21 +293,20 @@ class Catalog:
                 self.spark.catalog.refreshByPath(self._path(name))
         except Exception:
             pass  # mocked writers in tests have no real table to refresh
-        m = self._manifest()
-        entry = m.get(name) or {
-            "schema": df.schema.simpleString(),
-            "rows": 0,
-        }
-        if "base_rows" not in entry:
-            entry["base_rows"] = int(entry.get("rows") or 0)
-        appends = entry.setdefault("appends", {})
-        appends[str(tag) if tag is not None else prefix] = n
-        entry["rows"] = entry["base_rows"] + sum(appends.values())
         snapshot = f"{name}-{prefix}-{seq}"
-        entry["snapshot_id"] = snapshot
-        entry["complete"] = True
-        m[name] = entry
-        self._save_manifest(m)
+
+        def mutate(entry):
+            entry = entry or {"schema": df.schema.simpleString(), "rows": 0}
+            self._seed_base_rows(entry)
+            entry.setdefault("appends", {})[
+                str(tag) if tag is not None else prefix
+            ] = n
+            self._recount(entry)
+            entry["snapshot_id"] = snapshot
+            entry["complete"] = True
+            return entry
+
+        self._update_manifest(name, mutate)
         return snapshot
 
     def foreach_batch_sink(self, name: str):
@@ -268,9 +355,11 @@ class Catalog:
             batch_df.persist()
             try:
                 if self.use_iceberg:
-                    tagged = batch_df.withColumn("__batch_id", F.lit(batch_id))
+                    tagged = batch_df.withColumn(
+                        "__batch_id", F.lit(batch_id)
+                    ).withColumn("__append_tag", F.lit(None).cast("string"))
                     table = f"local.db.{name}"
-                    if self._manifest().get(name) is None:
+                    if not self._iceberg_table_exists(name):
                         tagged.writeTo(table).using("iceberg").createOrReplace()
                     else:
                         tagged.writeTo(table).overwrite(
@@ -297,29 +386,33 @@ class Catalog:
                         shutil.rmtree(scratch, ignore_errors=True)
             finally:
                 batch_df.unpersist()
-            m = self._manifest()
-            entry = m.get(name) or {
-                "schema": batch_df.schema.simpleString(),
-                "complete": True,
-            }
-            batches = entry.setdefault("batches", {})
-            if len(batches) == 0 and entry.get("rows"):
-                # stage previously written by the batch write() path: its
-                # rows are still readable — carry them as a legacy batch
-                # instead of silently dropping the count (ADVICE r03)
-                batches["legacy"] = entry["rows"]
-            batches[str(batch_id)] = n
-            entry["rows"] = sum(batches.values())
-            entry["snapshot_id"] = f"{name}-b{batch_id}"
-            entry["complete"] = True
-            m[name] = entry
-            self._save_manifest(m)
+            def mutate(entry):
+                entry = entry or {
+                    "schema": batch_df.schema.simpleString(),
+                    "complete": True,
+                }
+                # unified accounting (ADVICE r04): base_rows carries any
+                # pre-existing write() rows, and the count is always
+                # base_rows + Σ appends + Σ batches — so mixing append()
+                # and the streaming sink on one stage stays consistent
+                self._seed_base_rows(entry)
+                entry.setdefault("batches", {})[str(batch_id)] = n
+                self._recount(entry)
+                entry["snapshot_id"] = f"{name}-b{batch_id}"
+                entry["complete"] = True
+                return entry
+
+            self._update_manifest(name, mutate)
 
         return sink
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
-            return self.spark.read.table(f"local.db.{name}")
+            # drop the growth-mode helper columns stamped by write /
+            # append / the streaming sink (no-op when absent)
+            return self.spark.read.table(f"local.db.{name}").drop(
+                "__append_tag", "__batch_id"
+            )
         return self.spark.read.parquet(self._path(name))
 
     def read_metrics(self, name: str) -> DataFrame:
@@ -339,10 +432,11 @@ class Catalog:
         return entry.get("snapshot_id") if entry else None
 
     def invalidate(self, name: str) -> None:
-        m = self._manifest()
-        if name in m:
-            m[name]["complete"] = False
-            self._save_manifest(m)
+        with self._manifest_lock():
+            m = self._manifest()
+            if name in m:
+                m[name]["complete"] = False
+                self._save_manifest(m)
 
     def get_or_compute(self, name: str, compute, resume: bool = True) -> DataFrame:
         """Resume seam: reuse the stage table when complete, else compute,

@@ -65,6 +65,21 @@ def _single_window_exchange(plan: str) -> bool:
     )
 
 
+def _inverted_bucket_guard(plan: str) -> bool:
+    """The bucket-size guard is the INVERTED (scale-safe) shape — the
+    tiny OVER-cap key set is broadcast and the key stream LEFT-ANTI-joins
+    against it (VERDICT r04 #1).  Asserted two ways: (1) a broadcast
+    anti-join exists in the physical plan; (2) the size-filter predicates
+    are strictly-greater-than over-cap filters (`n > cap`) — the r04
+    anti-pattern's under-cap complement filter (`n <= cap`), whose
+    broadcast was corpus-proportional, must NOT appear anywhere."""
+    has_anti = re.search(r"BroadcastHashJoin [^\n]*LeftAnti", plan) is not None
+    counts = r"\bn(?:_new|_ref)?#\d+L?"
+    has_over_cap = re.search(counts + r" > \d", plan) is not None
+    has_under_cap = re.search(counts + r" <= \d", plan) is not None
+    return has_anti and has_over_cap and not has_under_cap
+
+
 def _no_forced_broadcast(plan: str) -> bool:
     """The optimized logical plan carries no broadcast join hint — the
     planner (or AQE at runtime) picks the join strategy from measured
@@ -80,6 +95,8 @@ CHECKS = {
          _bucket_exchanges_carry_no_embeddings),
         ("bucket keys are compact bigints, not strings",
          _bucket_keys_are_bigint),
+        ("INVERTED bucket-size guard: over-cap set broadcast + anti-join "
+         "(VERDICT r04 #3)", _inverted_bucket_guard),
     ],
     "tfidf_top_terms": [
         ("map-side partial aggregation on the tf/df shuffles", r"partial_count"),
@@ -122,22 +139,27 @@ CHECKS = {
     ],
     "minhash_dedup": [
         ("signatures computed in scan projection (no pre-shuffle)", r"Project"),
-        ("bucket-size guard via broadcast", r"BroadcastHashJoin"),
+        ("INVERTED bucket guard: over-cap set broadcast + anti-join, "
+         "no under-cap broadcast", _inverted_bucket_guard),
         ("band bucket keys are compact bigints, not strings",
          _dedup_bucket_keys_are_bigint),
     ],
     "simhash_dedup": [
         ("band bucket keys are compact bigints, not strings",
          _dedup_bucket_keys_are_bigint),
-        ("bucket-size guard via broadcast", r"BroadcastHashJoin"),
+        ("INVERTED bucket guard: over-cap set broadcast + anti-join, "
+         "no under-cap broadcast", _inverted_bucket_guard),
     ],
     "incremental_dedup": [
         ("bipartite band bucket keys are compact bigints",
          _dedup_bucket_keys_are_bigint),
         ("empty-doc (n_sh=0) filter applied before banding", r"n_sh#\d+ > 0"),
+        ("INVERTED bipartite bucket guard: over-cap union broadcast + "
+         "anti-join, no under-cap broadcast", _inverted_bucket_guard),
     ],
     "line_dedup": [
-        ("boilerplate-frequency guard via broadcast", r"BroadcastHashJoin"),
+        ("INVERTED boilerplate-frequency guard: over-cap set broadcast + "
+         "anti-join, no under-cap broadcast", _inverted_bucket_guard),
         ("only doc_id+text read",
          r"ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
@@ -200,7 +222,7 @@ def main() -> int:
     e = spark.createDataFrame(
         [(f"e{i}", "alpha beta") for i in range(30)], "entity_id string, s string"
     )
-    conf = BlockingConfig(hot_threshold=10, num_salts=4, max_key_freq=None)
+    conf = BlockingConfig(hot_threshold=10, num_salts=4, max_key_freq=20)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="el_audit_keystats_"))
     p_stage = candidate_pairs(
         blocking_keys(m, "mention_id", "s", conf),
@@ -216,6 +238,13 @@ def main() -> int:
          "LocalTableScan" not in stage_plan and "ExistingRDD[key" not in stage_plan),
         ("hot/cold split reads the key_stats catalog stage",
          "blocking_key_stats" in stage_plan),
+        ("INVERTED stop-key guard: over-cap e_freq filter broadcast + "
+         "anti-join; no under-cap/existence (e_freq >= 1 / <=cap) "
+         "broadcast (VERDICT r04 #1)",
+         re.search(r"BroadcastHashJoin [^\n]*LeftAnti", stage_plan) is not None
+         and re.search(r"e_freq#\d+L? > 20", stage_plan) is not None
+         and re.search(r"e_freq#\d+L? <= \d", stage_plan) is None
+         and re.search(r"e_freq#\d+L? >= 1\b", stage_plan) is None),
     ]:
         mark = "x" if ok else " "
         lines.append(f"- [{mark}] {desc}")

@@ -174,3 +174,96 @@ def test_packed_to_matrix_rejects_null_with_clear_error():
     s = pd.Series([np.asarray([1.0, 2.0], dtype="<f4").tobytes(), None])
     with pytest.raises(ValueError, match="NULL"):
         _packed_to_matrix(s)
+
+
+def test_lsh_degenerate_hot_bucket_guard(spark):
+    """A degenerate corpus — many identical embeddings collapsing into one
+    bucket per table — must NOT produce a quadratic bucket join (VERDICT
+    r04 #3): with max_bucket below the clone-group size the hot buckets
+    are dropped (via the inverted over-cap anti-join) and the clones pair
+    with nobody, while well-separated vectors are unaffected.  With the
+    guard disabled the same corpus pairs every clone with every other."""
+    from entity_linking_spark.operators.ann import embedding_dedup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(DIM)
+    base = base / np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base]) for i in range(80)]  # hot clone group
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+
+    guarded = embedding_dedup_pairs(
+        df, "id", threshold=0.999, dim=DIM, max_bucket=50
+    ).count()
+    assert guarded == 0  # every bucket holds all 80 clones → over cap → dropped
+
+    unguarded = embedding_dedup_pairs(
+        df, "id", threshold=0.999, dim=DIM, max_bucket=None
+    ).count()
+    assert unguarded == 80 * 79 // 2
+
+
+def test_lsh_multi_probe_recall_at_least_single_probe(spark, vec_df):
+    """Multi-probe must be a candidate SUPERSET of single-probe (same
+    tables, plus all Hamming-1 buckets per table), so top-1 recall can
+    only improve."""
+    q = vec_df.select(F.col("id").alias("query_id"), "embedding")
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    exact = {
+        r["query_id"]: r["corpus_id"]
+        for r in brute_force_topk(q, c, k=1).collect()
+    }
+
+    def recall(multi_probe):
+        approx = {
+            r["query_id"]: r["corpus_id"]
+            for r in lsh_topk(
+                q, c, dim=DIM, k=1, num_planes=6, num_tables=2,
+                multi_probe=multi_probe,
+            ).collect()
+        }
+        return sum(1 for k in exact if approx.get(k) == exact[k]) / len(exact)
+
+    assert recall(True) >= recall(False)
+
+
+def test_choose_lsh_params_hits_target_on_clustered_corpus(spark, vec_df):
+    """choose_lsh_params (VERDICT r04 #2) must pick knobs whose MEASURED
+    recall@k on the clustered corpus is at or near its prediction for the
+    requested target."""
+    from entity_linking_spark.operators.ann import choose_lsh_params
+
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    params = choose_lsh_params(c, dim=DIM, k=3, target_recall=0.9, sample=100)
+    assert params["met_target"] and params["predicted_recall"] >= 0.9
+
+    q = vec_df.select(F.col("id").alias("query_id"), "embedding")
+    exact = brute_force_topk(q, c, k=3).select("query_id", "corpus_id")
+    approx = lsh_topk(
+        q, c, dim=DIM, k=3,
+        num_planes=params["num_planes"], num_tables=params["num_tables"],
+        multi_probe=params["multi_probe"],
+    ).select("query_id", "corpus_id")
+    got = approx.intersect(exact).count() / exact.count()
+    # measured recall may sit under the analytic prediction (finite
+    # sample, per-query variance) but must clear the target with slack
+    assert got >= 0.85, got
+
+
+def test_choose_lsh_params_honest_fallback_when_target_unreachable(spark):
+    """On a pathologically uniform corpus no config reaches an extreme
+    target — the helper must say so (met_target=False) instead of
+    silently returning a weak config as if it had."""
+    from entity_linking_spark.operators.ann import choose_lsh_params
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(64):
+        v = rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "corpus_id long, embedding array<float>")
+    params = choose_lsh_params(
+        df, dim=DIM, k=5, target_recall=0.999, sample=64,
+        planes_grid=(10, 12), max_tables=2, allow_multi_probe=False,
+    )
+    assert params["met_target"] is False
+    assert 0.0 <= params["predicted_recall"] < 0.999

@@ -70,6 +70,10 @@ class _FakeIcebergDF:
         self.rec = rec
         self.schema = schema
 
+    def withColumn(self, name, col):
+        self.rec.setdefault("stamped", []).append(name)
+        return self
+
     def writeTo(self, table):
         self.rec["table"] = table
         return _FakeWriter(self.rec)
@@ -91,6 +95,9 @@ def test_iceberg_branch_forwards_partition_by_and_counts_rows(spark, tmp_path):
     assert rec["using"] == "iceberg"
     assert rec["partitioned_by"] == 1
     assert rec["created"] is True
+    # growth-mode helper columns stamped on the batch-write path too, so
+    # any later tagged append / streaming batch shares the table schema
+    assert rec["stamped"] == ["__append_tag", "__batch_id"]
     assert cat._manifest()["ice_stage"]["rows"] == 10
 
 
@@ -212,7 +219,10 @@ def test_foreach_batch_sink_migrates_legacy_batch_stage(spark, tmp_path):
     sink = cat.foreach_batch_sink("s")
     sink(spark.createDataFrame([(3, "c")], "id long, v string"), 0)
     assert cat._manifest()["s"]["rows"] == 3
-    assert cat._manifest()["s"]["batches"]["legacy"] == 2
+    # unified accounting (ADVICE r04): pre-existing write() rows live in
+    # base_rows, rows = base_rows + Σ appends + Σ batches everywhere
+    assert cat._manifest()["s"]["base_rows"] == 2
+    assert cat._manifest()["s"]["batches"]["0"] == 1
     assert sorted(r["id"] for r in cat.read("s").collect()) == [1, 2, 3]
 
     sink(spark.createDataFrame([(3, "c")], "id long, v string"), 0)  # replay
@@ -240,3 +250,77 @@ def test_cli_inspect_reads_manifest_and_lineage(spark, tmp_path, capsys):
     lineage = out["lineage"]
     assert lineage and sum(r["rows"] for r in lineage) == 100
     assert all(r["stage"] == "stage_a" for r in lineage)
+
+
+def test_concurrent_sinks_to_different_stages_keep_both_manifests(spark, tmp_path):
+    """Two interleaved writers to DIFFERENT stages must not drop each
+    other's manifest updates (VERDICT r04 #4: the read-modify-write cycle
+    was last-writer-wins; the lock serializes it).  Interleaving is forced
+    deterministically: each thread performs many small appends, so the
+    read→mutate→save windows overlap constantly."""
+    import threading
+
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df.persist().count()
+    errs = []
+
+    def worker(stage, n_batches):
+        try:
+            sink = cat.foreach_batch_sink(stage)
+            for b in range(n_batches):
+                sink(df, b)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(f"s{i}", 6)) for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    df.unpersist()
+    assert not errs
+    m = cat._manifest()
+    for i in range(3):
+        assert m[f"s{i}"]["rows"] == 6, m.get(f"s{i}")
+        assert len(m[f"s{i}"]["batches"]) == 6
+
+
+def test_untagged_appends_same_millisecond_never_collide(spark, tmp_path):
+    """Untagged append prefixes are collision-proof (ADVICE r04): rapid
+    successive untagged appends — many within one millisecond timestamp —
+    must each keep their files and their manifest accounting."""
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat.write("s", df)
+    for _ in range(5):
+        cat.append("s", df)
+    assert cat.read("s").count() == 6
+    entry = cat._manifest()["s"]
+    assert entry["rows"] == 6 and len(entry["appends"]) == 5
+
+
+def test_mixed_append_and_sink_growth_accounting(spark, tmp_path):
+    """Mixing append() and the streaming sink on ONE stage keeps rows =
+    base_rows + Σ appends + Σ batches (ADVICE r04: the old sink recomputed
+    rows = Σ batches, dropping appends; its legacy seeding then
+    double-counted on the next append)."""
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    two = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    one = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    cat.write("s", two)                      # base_rows = 2
+    cat.append("s", one, tag="inc1")         # +1 append
+    sink = cat.foreach_batch_sink("s")
+    sink(one, 0)                             # +1 batch
+    cat.append("s", one, tag="inc2")         # +1 append
+    sink(one, 0)                             # replay of batch 0: no change
+
+    entry = cat._manifest()["s"]
+    assert entry["base_rows"] == 2
+    assert entry["appends"] == {"inc1": 1, "inc2": 1}
+    assert entry["batches"] == {"0": 1}
+    assert entry["rows"] == 5
+    assert cat.read("s").count() == 5

@@ -187,7 +187,10 @@ def test_parallelize_scan_guard(spark, tmp_path):
     conversion in the operator path (VERDICT r03 #4): starved file scans
     (fewer estimated splits than parallelism) widen to defaultParallelism,
     inputs with enough splits pass through untouched, and driver-local
-    frames (no input files → small by construction) always widen."""
+    frames (LocalRelation leaves → small by construction) always widen.
+    ADVICE r04: a no-file frame that is NOT known local (JDBC, Range, a
+    non-file micro-batch) can be arbitrarily large — it must pass
+    through UNTOUCHED, not eat a full-input shuffle."""
     import inspect
 
     from entity_linking_spark.operators import dedup
@@ -216,6 +219,13 @@ def test_parallelize_scan_guard(spark, tmp_path):
     ).write.parquet(wide_path)
     wide_scan = spark.read.parquet(wide_path)
     assert _parallelize_scan(wide_scan) is wide_scan
+
+    # no input files but NOT a LocalRelation (Range is the in-sandbox
+    # stand-in for a non-file source of unknown size): pass-through —
+    # the guard must never inject a shuffle on a frame it can't size
+    rng = spark.range(100).selectExpr("cast(id as string) id", "'x' text")
+    assert not rng.inputFiles()
+    assert _parallelize_scan(rng) is rng
 
 
 def test_incremental_dedup_against_reference(spark, docs):
@@ -427,3 +437,37 @@ def test_empty_docs_never_pair(spark):
         minhash_lsh_pairs_against(
             new, df, "id", "text", ref_sigs=minhash_signatures(df, "id", "text")
         )
+
+
+def test_incremental_dedup_forwards_nondefault_seed(spark, tmp_path):
+    """A signature stage built with a non-default seed must match
+    identical new docs when the SAME seed is passed to the incremental
+    operators (ADVICE r04: seed was accepted by signature_stage but
+    silently dropped by minhash_lsh_pairs_against — new-side signatures
+    always used seed=42, so every doc scored novel)."""
+    from entity_linking_spark.operators.dedup import (
+        incremental_dedup,
+        signature_stage,
+    )
+    from entity_linking_spark.sources.catalog import Catalog
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame([(1, text)], "id long, text string")
+    new = spark.createDataFrame([(100, text), (101, "utterly different words "
+                                 "nothing shared with anything")],
+                                "id long, text string")
+    cat = Catalog(spark, str(tmp_path / "stages"))
+    stage = signature_stage(cat, "sigs7", ref, "id", "text",
+                            shingle_k=2, seed=7)
+
+    out = {r["id"]: r["is_novel"] for r in incremental_dedup(
+        new, None, "id", "text", ref_sigs=stage, shingle_k=2, seed=7
+    ).collect()}
+    assert out == {100: False, 101: True}
+
+    # mismatched seeds must NOT match — proving the parameter is live,
+    # not cosmetically accepted
+    out_mismatch = {r["id"]: r["is_novel"] for r in incremental_dedup(
+        new, None, "id", "text", ref_sigs=stage, shingle_k=2  # default 42
+    ).collect()}
+    assert out_mismatch[100] is True

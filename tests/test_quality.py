@@ -92,3 +92,64 @@ def test_quality_score_ordering(spark):
 def test_mean_word_length(spark):
     df = spark.createDataFrame([("aa bbbb",)], "t string")
     assert df.select(mean_word_length("t").alias("m")).collect()[0]["m"] == 3.0
+
+
+def test_top_word_fraction_agg_matches_hof(spark):
+    """The explode+groupBy twin must equal the HOF column form on the
+    same corpus — including empty docs (0.0) and ties."""
+    from entity_linking_spark.functions.quality import (
+        top_word_fraction,
+        top_word_fraction_agg,
+    )
+
+    rows = [
+        (0, "a a a b"),
+        (1, ""),
+        (2, "   "),
+        (3, "x y x y"),
+        (4, "one two three"),
+        (5, "Spam SPAM spam ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    hof = {r["id"]: r["f"] for r in
+           df.select("id", top_word_fraction("text").alias("f")).collect()}
+    agg = {r["id"]: r["top_word_frac"] for r in
+           top_word_fraction_agg(df, "id", "text").collect()}
+    assert set(hof) == set(agg)
+    for i in hof:
+        assert abs(hof[i] - agg[i]) < 1e-12, (i, hof[i], agg[i])
+
+
+def test_repetition_stats_table_adaptive_long_doc(spark):
+    """repetition_stats_table (VERDICT r04 #5) must (a) give identical
+    results whichever path a row takes, and (b) finish promptly on a
+    book-length row with a huge distinct vocabulary — the case where the
+    HOF form's O(distinct·words) work explodes (~10^9 comparisons here;
+    the explode twin does ~5·10^5)."""
+    import time
+
+    from entity_linking_spark.functions.quality import repetition_stats_table
+
+    # parity: same small corpus through both thresholds
+    small = spark.createDataFrame(
+        [(0, "a a b c c c"), (1, ""), (2, "w x y z")], "doc_id long, text string"
+    )
+    lo = {r["doc_id"]: r.asDict() for r in
+          repetition_stats_table(small, "doc_id", "text", hof_max_chars=1).collect()}
+    hi = {r["doc_id"]: r.asDict() for r in
+          repetition_stats_table(small, "doc_id", "text", hof_max_chars=10**6).collect()}
+    assert lo == hi
+
+    # runtime bound: 500k words, ~125k distinct — impractical via the HOF
+    # path, seconds via the explode twin
+    # 500k words, 125k distinct, top word planted at exactly 5% (the
+    # output is rounded to 4 places — the driver/oracle contract — so
+    # the planted fraction must survive rounding)
+    words = " ".join(
+        ["top"] * 25_000 + [f"w{i % 125_000}" for i in range(475_000)]
+    )
+    big = spark.createDataFrame([(9, words)], "doc_id long, text string")
+    t0 = time.time()
+    row = repetition_stats_table(big, "doc_id", "text").collect()[0]
+    assert time.time() - t0 < 60
+    assert abs(row["top_word_frac"] - 0.05) < 1e-9

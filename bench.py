@@ -380,7 +380,9 @@ SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "24000"))
 SCALE_ENTITIES = int(os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "2400"))
 
 
-def run_kernel_scaling(procs_small: int = 8, procs_big: int = 32) -> dict:
+def run_kernel_scaling(
+    procs_small: int = 8, procs_big: int = 32, reps: int = 3
+) -> dict:
     """Scaling of the scoring COMPUTE KERNEL (the Python side of
     score_indexed_pairs: JW×2-with-skip + embedding einsum) measured with
     plain multiprocessing — no Spark orchestration, no shuffle.
@@ -389,19 +391,44 @@ def run_kernel_scaling(procs_small: int = 8, procs_big: int = 32) -> dict:
     perfectly (executors on separate machines have private DRAM, shuffle
     service, and JVMs); the single-box job-level probe (--scaling)
     additionally pays this box's shared-memory/shuffle ceiling, which a
-    multi-node cluster does not share."""
-    import multiprocessing as mp
+    multi-node cluster does not share.
 
+    Measurement protocol (r5 — CLAUDE.md #9 brought to this probe): the
+    two arms are INTERLEAVED rep by rep (small, big, small, big, …) on
+    long-lived pools after one untimed warm-up pass each, and each arm
+    reports its MEDIAN wall of ``reps`` passes — a single-pass ratio on
+    this shared box turns external-load windows into efficiency noise
+    (r5 measured single-pass values 0.73–0.87 within one hour on
+    unchanged kernel code)."""
+    import multiprocessing as mp
+    import statistics
+
+    walls: dict[int, list] = {procs_small: [], procs_big: []}
+    pairs: dict[int, int] = {}
+    pools = {}
+    try:
+        for procs in (procs_small, procs_big):
+            pools[procs] = mp.Pool(procs)
+            # untimed warm-up: worker spawn + imports + allocator
+            pairs[procs] = sum(pools[procs].map(_kernel_unit, range(procs * 2)))
+        for _ in range(reps):
+            for procs in (procs_small, procs_big):
+                t0 = time.time()
+                pairs[procs] = sum(
+                    pools[procs].map(_kernel_unit, range(procs * 2))
+                )
+                walls[procs].append(round(time.time() - t0, 3))
+    finally:
+        for pool in pools.values():
+            pool.terminate()
+            pool.join()
     results = {}
     for procs in (procs_small, procs_big):
-        units = procs * 2
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pairs_done = sum(pool.map(_kernel_unit, range(units)))
-            wall = time.time() - t0
+        wall = statistics.median(walls[procs])
         results[procs] = {
-            "procs": procs, "wall_sec": round(wall, 3), "pairs": pairs_done,
-            "pairs_per_sec": round(pairs_done / wall, 1),
+            "procs": procs, "wall_sec": wall, "walls_all": walls[procs],
+            "pairs": pairs[procs],
+            "pairs_per_sec": round(pairs[procs] / wall, 1),
         }
     r_small = results[procs_small]["pairs_per_sec"]
     r_big = results[procs_big]["pairs_per_sec"]
@@ -568,11 +595,12 @@ def run_scaling() -> dict:
             f"| local[8] | {results[8]['wall_sec']} | {results[8].get('walls_all')} | {results[8]['pairs']} | {r8} | {results[8]['cluster_wall_sec']} |\n"
             f"| local[32] | {results[32]['wall_sec']} | {results[32].get('walls_all')} | {results[32]['pairs']} | {r32} | {results[32]['cluster_wall_sec']} |\n\n"
             f"**Job-level scaling efficiency (8→32 cores) = r32 / (4·r8) = {eff}**\n\n"
-            "## Scoring-kernel (multiprocessing, no shared JVM/shuffle)\n\n"
-            "| parallelism | wall sec | pairs | pairs/sec |\n"
-            "|---|---|---|---|\n"
-            f"| 8 procs | {ks['wall_sec']} | {ks['pairs']} | {ks['pairs_per_sec']} |\n"
-            f"| 32 procs | {kb['wall_sec']} | {kb['pairs']} | {kb['pairs_per_sec']} |\n\n"
+            "## Scoring-kernel (multiprocessing, no shared JVM/shuffle;\n"
+            "interleaved arms, per-arm median of 3)\n\n"
+            "| parallelism | median wall sec | all walls | pairs | pairs/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"| 8 procs | {ks['wall_sec']} | {ks.get('walls_all')} | {ks['pairs']} | {ks['pairs_per_sec']} |\n"
+            f"| 32 procs | {kb['wall_sec']} | {kb.get('walls_all')} | {kb['pairs']} | {kb['pairs_per_sec']} |\n\n"
             f"**Kernel scaling efficiency (8→32 procs) = {kernel['value']}**"
             " (target ≥ 0.8)\n\n"
             "## Why two numbers\n\n"

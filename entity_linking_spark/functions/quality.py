@@ -169,8 +169,16 @@ def repetition_stats_table(
     explode+groupBy twin so a book-length row cannot stall its task on
     the O(distinct·words) HOF expression.  Column set matches the
     repetition_stats driver query: (id, dup_word_frac, dup_2gram_frac,
-    dup_3gram_frac, top_word_frac), fractions rounded to 4 places."""
-    is_short = F.length(F.col(text_col)) <= hof_max_chars
+    dup_3gram_frac, top_word_frac), fractions rounded to 4 places.
+
+    NULL text must not lose the row: ``length(NULL) <= k`` is NULL,
+    which a bare ``where`` drops from BOTH branches — the coalesce
+    routes NULL-text rows down the short/scan path, which projects the
+    same all-NULL stats the pre-split single projection emitted (and
+    the DuckDB oracle still expects one row per document)."""
+    is_short = F.coalesce(
+        F.length(F.col(text_col)) <= hof_max_chars, F.lit(True)
+    )
 
     def scan_cols():
         return [

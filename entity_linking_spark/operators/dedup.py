@@ -104,14 +104,18 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
         # No file list ≠ small (ADVICE r04): JDBC / non-file micro-batch
         # sources report no input files but can be arbitrarily large — an
         # unconditional repartition would inject a full-input shuffle.
-        # Widen ONLY frames KNOWN bounded: every leaf of the optimized
-        # logical plan is a LocalRelation / LogicalRDD — createDataFrame
-        # rows (driver-local by construction: Python createDataFrame
-        # parallelizes a collected local batch) or a foreachBatch
-        # micro-batch (trigger-bounded, and usually starved — widening
-        # is exactly what the streaming ingest wants).  Anything else
-        # (JDBC relation, Range, a V2 source) can be arbitrarily large
-        # and passes through untouched.  Leaf inspection is a
+        # Widen ONLY frames whose leaves say bounded-by-construction:
+        # LocalRelation / LogicalRDD — createDataFrame rows (Python
+        # createDataFrame parallelizes a collected local batch) or a
+        # foreachBatch micro-batch (trigger-bounded, and usually starved
+        # — widening is exactly what the streaming ingest wants).
+        # Anything else (JDBC relation, Range, a V2 source) can be
+        # arbitrarily large and passes through untouched.  Known hole:
+        # df.checkpoint() results and createDataFrame(<big RDD>) also
+        # leave LogicalRDD leaves and would eat the repartition — the
+        # engine's own scale convention keeps corpus-sized inputs
+        # file-backed or catalog stages (CLAUDE.md production shapes),
+        # where the split-estimate path below governs instead.  Leaf inspection is a
         # logical-plan walk — no RDD conversion (the r03 partition-count
         # probe forced physical planning per call; the no-RDD invariant
         # is pytest-gated).

@@ -113,6 +113,14 @@ class Catalog:
             + sum(entry.get("batches", {}).values())
         )
 
+    def _iceberg_columns(self, name: str) -> list | None:
+        """Column names of the live Iceberg table, or None when the
+        catalog lookup is unavailable (mocked writers in tests)."""
+        try:
+            return self.spark.table(f"local.db.{name}").columns
+        except Exception:
+            return None
+
     def _iceberg_table_exists(self, name: str) -> bool:
         """Create-vs-grow decision for the Iceberg branch keys on TABLE
         existence, not on the manifest alone (ADVICE r04: a lost manifest
@@ -263,12 +271,33 @@ class Catalog:
                 ).withColumn("__batch_id", F.lit(None).cast("long"))
                 if not self._iceberg_table_exists(name):
                     tagged.writeTo(table).using("iceberg").createOrReplace()
-                elif tag is not None:
-                    tagged.writeTo(table).overwrite(
-                        F.col("__append_tag") == F.lit(tag)
-                    )
                 else:
-                    tagged.writeTo(table).append()
+                    # a table created BEFORE helper-column stamping has
+                    # no __append_tag/__batch_id; v2 by-name writes
+                    # reject extra data columns, so align to the live
+                    # table schema (tagged appends REQUIRE the column —
+                    # evolve the schema via a full write() first)
+                    existing = set(self._iceberg_columns(name) or [])
+                    out = tagged
+                    if existing:
+                        missing = [
+                            c for c in ("__append_tag", "__batch_id")
+                            if c not in existing
+                        ]
+                        if missing and tag is not None:
+                            raise ValueError(
+                                f"stage '{name}' predates append-tag "
+                                "stamping (no __append_tag column); run a "
+                                "full write() to migrate before tagged "
+                                "appends"
+                            )
+                        out = tagged.drop(*missing)
+                    if tag is not None:
+                        out.writeTo(table).overwrite(
+                            F.col("__append_tag") == F.lit(tag)
+                        )
+                    else:
+                        out.writeTo(table).append()
             else:
                 path = self._path(name)
                 os.makedirs(path, exist_ok=True)

@@ -267,3 +267,34 @@ def test_choose_lsh_params_honest_fallback_when_target_unreachable(spark):
     )
     assert params["met_target"] is False
     assert 0.0 <= params["predicted_recall"] < 0.999
+
+
+def test_choose_lsh_params_respects_bucket_guard(spark, vec_df):
+    """The chooser's recall prediction assumes every colliding bucket is
+    probed, but lsh_topk's max_bucket guard DROPS over-cap buckets — so
+    plane counts whose mean bucket load (|corpus| / 2^planes) brushes
+    the cap must be screened out of the grid, and when the screen
+    excludes every plane count the helper must fall back honestly
+    (met_target=False) rather than predict recall the guard will shed."""
+    from entity_linking_spark.operators.ann import choose_lsh_params
+
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    n = c.count()
+
+    # cap so tight every plane count in the grid fails the mean-load
+    # screen (n / 2^planes > cap/4 for all planes): honest fallback
+    tiny_cap = max(1, int(n / 2 ** 4))
+    params = choose_lsh_params(
+        c, dim=DIM, k=3, target_recall=0.5, sample=100,
+        planes_grid=(2, 3, 4), max_bucket=tiny_cap,
+    )
+    assert params["met_target"] is False
+    assert params["num_planes"] == 4  # finest granularity available
+
+    # max_bucket=None disables the screen entirely: same grid now meets
+    # the same target (clustered corpus, low bar)
+    params_off = choose_lsh_params(
+        c, dim=DIM, k=3, target_recall=0.5, sample=100,
+        planes_grid=(2, 3, 4), max_bucket=None,
+    )
+    assert params_off["met_target"] is True

@@ -288,6 +288,85 @@ def test_concurrent_sinks_to_different_stages_keep_both_manifests(spark, tmp_pat
         assert len(m[f"s{i}"]["batches"]) == 6
 
 
+class _FakeAppendDF:
+    """Wraps a real DataFrame for the Iceberg append branch: records
+    withColumn/drop/writeTo calls, delegates count/schema."""
+
+    def __init__(self, df, calls):
+        self._df, self.calls = df, calls
+        self.schema = df.schema
+
+    def persist(self):
+        return self
+
+    def unpersist(self):
+        return self
+
+    def count(self):
+        return self._df.count()
+
+    def withColumn(self, name, col):
+        self.calls.append(("withColumn", name))
+        return self
+
+    def drop(self, *cols):
+        self.calls.append(("drop", tuple(cols)))
+        return self
+
+    def writeTo(self, table):
+        calls = self.calls
+        calls.append(("writeTo", table))
+
+        class _W:
+            def using(self, fmt):
+                return self
+
+            def createOrReplace(self):
+                calls.append(("createOrReplace",))
+
+            def append(self):
+                calls.append(("append",))
+
+            def overwrite(self, cond):
+                calls.append(("overwrite", str(cond)))
+
+        return _W()
+
+
+def test_iceberg_append_aligns_to_pre_stamping_table_schema(spark, tmp_path):
+    """Appending to an Iceberg table created BEFORE helper-column
+    stamping (no __append_tag/__batch_id in its schema): v2 by-name
+    appends reject extra data columns, so an untagged append must drop
+    the helper columns to match the live table, and a tagged append —
+    which NEEDS __append_tag for its overwrite-by-filter idempotence —
+    must refuse with a migration message rather than fail inside Spark
+    or silently lose replay protection."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "ice"))
+    cat.use_iceberg = True
+    cat._iceberg_table_exists = lambda name: True
+    cat._iceberg_columns = lambda name: ["id", "v"]  # pre-stamping schema
+
+    calls = []
+    fake = _FakeAppendDF(spark.createDataFrame([(1, "a")], "id long, v string"), calls)
+    cat.append("legacy", fake)
+    assert ("drop", ("__append_tag", "__batch_id")) in calls
+    assert ("append",) in calls and ("overwrite" not in [c[0] for c in calls])
+
+    with pytest.raises(ValueError, match="predates append-tag stamping"):
+        cat.append("legacy", _FakeAppendDF(
+            spark.createDataFrame([(2, "b")], "id long, v string"), []), tag="x")
+
+    # a post-stamping table (helper columns present) appends unmodified
+    cat._iceberg_columns = lambda name: ["id", "v", "__append_tag", "__batch_id"]
+    calls2 = []
+    cat.append("modern", _FakeAppendDF(
+        spark.createDataFrame([(3, "c")], "id long, v string"), calls2), tag="y")
+    assert ("drop", ()) in calls2  # nothing missing → no-op drop
+    assert any(c[0] == "overwrite" and "__append_tag" in c[1] for c in calls2)
+
+
 def test_untagged_appends_same_millisecond_never_collide(spark, tmp_path):
     """Untagged append prefixes are collision-proof (ADVICE r04): rapid
     successive untagged appends — many within one millisecond timestamp —

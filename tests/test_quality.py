@@ -120,6 +120,24 @@ def test_top_word_fraction_agg_matches_hof(spark):
         assert abs(hof[i] - agg[i]) < 1e-12, (i, hof[i], agg[i])
 
 
+def test_repetition_stats_table_keeps_null_text_rows(spark):
+    """NULL text must yield one all-NULL-stats row, not vanish:
+    length(NULL) <= k is NULL, which a bare where() drops from BOTH
+    branches of the adaptive split — the regression the coalesce guard
+    exists for (the DuckDB oracle emits one row per document)."""
+    from entity_linking_spark.functions.quality import repetition_stats_table
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, None), (2, "x " * 20_001)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            repetition_stats_table(df, "doc_id", "text", hof_max_chars=10).collect()}
+    assert set(rows) == {0, 1, 2}, "every input row must survive the split"
+    assert rows[1]["dup_word_frac"] is None
+    assert rows[1]["top_word_frac"] is None
+
+
 def test_repetition_stats_table_adaptive_long_doc(spark):
     """repetition_stats_table (VERDICT r04 #5) must (a) give identical
     results whichever path a row takes, and (b) finish promptly on a

@@ -166,7 +166,8 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
     point — on one (queries, corpus) pair."""
     from entity_linking_spark.operators._cache import release_cached
     from entity_linking_spark.operators.ann import (
-        brute_force_topk, choose_lsh_params, ivf_topk, lsh_topk,
+        brute_force_topk, choose_ivf_params, choose_lsh_params, ivf_topk,
+        lsh_topk,
     )
 
     exact = brute_force_topk(q, c, k=k).select("query_id", "corpus_id").persist()
@@ -186,12 +187,17 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
     )
     chosen_knobs = {kk: chosen[kk]
                     for kk in ("num_planes", "num_tables", "multi_probe")}
+    def ivf_recall(**params):
+        hits = (
+            ivf_topk(q, c, dim=dim, k=k, **params)
+            .select("query_id", "corpus_id").intersect(exact).count()
+        )
+        release_cached()
+        return round(hits / denom, 4)
+
     ivf_params = {"num_centroids": 16, "nprobe": 4}
-    ivf_hits = (
-        ivf_topk(q, c, dim=dim, k=k, **ivf_params)
-        .select("query_id", "corpus_id").intersect(exact).count()
-    )
-    release_cached()
+    ivf_chosen = choose_ivf_params(c, dim=dim, k=k, target_recall=target)
+    ivf_knobs = {kk: ivf_chosen[kk] for kk in ("num_centroids", "nprobe")}
     out = {
         "lsh": {"recall": lsh_recall(**lsh_default), **lsh_default},
         "lsh_target": {
@@ -201,7 +207,14 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
             "met_target": chosen["met_target"],
             **chosen_knobs,
         },
-        "ivf": {"recall": round(ivf_hits / denom, 4), **ivf_params},
+        "ivf": {"recall": ivf_recall(**ivf_params), **ivf_params},
+        "ivf_target": {
+            "recall": ivf_recall(**ivf_knobs),
+            "target": target,
+            "predicted_recall": ivf_chosen["predicted_recall"],
+            "met_target": ivf_chosen["met_target"],
+            **ivf_knobs,
+        },
     }
     exact.unpersist()
     return out

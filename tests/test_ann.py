@@ -298,3 +298,54 @@ def test_choose_lsh_params_respects_bucket_guard(spark, vec_df):
         planes_grid=(2, 3, 4), max_bucket=None,
     )
     assert params_off["met_target"] is True
+
+
+def test_choose_ivf_params_hits_target_on_clustered_corpus(spark, vec_df):
+    """choose_ivf_params (the IVF twin of the LSH recall policy) must
+    pick (num_centroids, nprobe) whose MEASURED recall@k on the
+    clustered corpus is at or near its empirical prediction."""
+    from entity_linking_spark.operators.ann import choose_ivf_params, ivf_topk
+
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    params = choose_ivf_params(c, dim=DIM, k=3, target_recall=0.9, sample=100)
+    assert params["met_target"] and params["predicted_recall"] >= 0.9
+
+    q = vec_df.select(F.col("id").alias("query_id"), "embedding")
+    exact = brute_force_topk(q, c, k=3).select("query_id", "corpus_id")
+    approx = ivf_topk(
+        q, c, dim=DIM, k=3,
+        num_centroids=params["num_centroids"], nprobe=params["nprobe"],
+    ).select("query_id", "corpus_id")
+    got = approx.intersect(exact).count() / exact.count()
+    assert got >= 0.85, got
+
+
+def test_choose_ivf_params_honest_fallback_under_probe_budget(spark):
+    """Probing every list is brute force, so without a work bound the
+    target is always met at nprobe=num_centroids; under a max_nprobe
+    budget on a uniform corpus the helper must report met_target=False
+    with its best-effort config instead of overclaiming."""
+    from entity_linking_spark.operators.ann import choose_ivf_params
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(64):
+        v = rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "corpus_id long, embedding array<float>")
+    # uniform corpus: true neighbors scatter across lists, so 1 probe of
+    # 16 lists cannot reach 0.99 recall
+    params = choose_ivf_params(
+        df, dim=DIM, k=5, target_recall=0.99, sample=64,
+        centroid_grid=(16,), max_nprobe=1,
+    )
+    assert params["met_target"] is False
+    assert params["nprobe"] == 1
+    assert params["predicted_recall"] < 0.99
+
+    # unbounded: nprobe may rise to num_centroids, where recall is 1.0
+    # by construction — the target is met
+    full = choose_ivf_params(
+        df, dim=DIM, k=5, target_recall=0.99, sample=64, centroid_grid=(16,)
+    )
+    assert full["met_target"] is True

@@ -565,6 +565,7 @@ def choose_ivf_params(
     centroid_grid: tuple = (8, 16, 32, 64),
     kmeans_iterations: int = 5,
     max_nprobe: int | None = None,
+    margin: float = 0.05,
 ) -> dict:
     """Pick (num_centroids, nprobe) for ``ivf_topk`` to hit a TARGET
     recall@k on THIS corpus — the IVF twin of ``choose_lsh_params``
@@ -587,8 +588,18 @@ def choose_ivf_params(
     meets it, the max-recall config is returned with
     ``met_target=False`` — the honest fallback is ``brute_force_topk``.
 
+    ``margin`` guards the simulation-vs-operator gap: the chooser fits
+    k-means on its ``sample`` rows while ``ivf_topk`` fits on up to
+    ``train_sample`` (default 10k) corpus rows, so the simulated cell
+    geometry is mildly optimistic (measured: −0.03 recall on the bench's
+    near-uniform corpus).  A config counts as meeting the target only
+    when its simulated recall reaches ``min(target + margin, 1.0)`` —
+    the cap keeps probe-everything (recall exactly 1.0 by construction)
+    classed as met for any target.
+
     Returns {"num_centroids", "nprobe", "predicted_recall",
-    "met_target"} — splat the first two into ``ivf_topk(**params)``."""
+    "met_target"} — splat the first two into ``ivf_topk(**params)``;
+    ``predicted_recall`` is the raw simulated value (pre-margin)."""
     rows = (
         corpus.where(F.col("embedding").isNotNull())
         .select(F.col(corpus_id).alias("__cid"), "embedding")
@@ -610,6 +621,7 @@ def choose_ivf_params(
 
     best, best_cost = None, None
     fallback, fb_recall = None, -1.0
+    eff_target = min(target_recall + margin, 1.0)
     row_ix = np.arange(n)[:, None]
     for nc in centroid_grid:
         cents = _kmeans_fit(mat, nc, kmeans_iterations)
@@ -631,7 +643,7 @@ def choose_ivf_params(
             better_fb = (r, nc_eff) > (fb_recall, fallback[0] if fallback else 0)
             if better_fb:
                 fb_recall, fallback = r, (nc_eff, nprobe, r)
-            if r >= target_recall:
+            if r >= eff_target:
                 cost = nprobe / float(nc_eff)
                 if (
                     best_cost is None

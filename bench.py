@@ -173,13 +173,16 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
     exact = brute_force_topk(q, c, k=k).select("query_id", "corpus_id").persist()
     denom = exact.count()
 
-    def lsh_recall(**params):
+    def recall(op, **params):
         hits = (
-            lsh_topk(q, c, dim=dim, k=k, **params)
+            op(q, c, dim=dim, k=k, **params)
             .select("query_id", "corpus_id").intersect(exact).count()
         )
         release_cached()
         return round(hits / denom, 4)
+
+    lsh_recall = lambda **p: recall(lsh_topk, **p)  # noqa: E731
+    ivf_recall = lambda **p: recall(ivf_topk, **p)  # noqa: E731
 
     lsh_default = {"num_planes": 6, "num_tables": 8}
     chosen = choose_lsh_params(
@@ -187,14 +190,6 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
     )
     chosen_knobs = {kk: chosen[kk]
                     for kk in ("num_planes", "num_tables", "multi_probe")}
-    def ivf_recall(**params):
-        hits = (
-            ivf_topk(q, c, dim=dim, k=k, **params)
-            .select("query_id", "corpus_id").intersect(exact).count()
-        )
-        release_cached()
-        return round(hits / denom, 4)
-
     ivf_params = {"num_centroids": 16, "nprobe": 4}
     ivf_chosen = choose_ivf_params(c, dim=dim, k=k, target_recall=target)
     ivf_knobs = {kk: ivf_chosen[kk] for kk in ("num_centroids", "nprobe")}

@@ -253,8 +253,9 @@ def lsh_topk(
     over-cap bucket are not returned.  Over-cap buckets mean more than
     ``max_bucket`` vectors share every sign bit in some table: a
     near-duplicate mass of that size is exact/MinHash-dedup material by
-    design, and ``choose_lsh_params`` screens out plane counts whose
-    MEAN bucket load brushes the cap so its recall prediction stays
+    design, and ``choose_lsh_params`` screens out configs whose MEAN
+    bucket load on EITHER side (corpus, or queries × probes under
+    multi-probe) brushes the cap so its recall prediction stays
     honest.  ``max_bucket=None`` restores probe-everything semantics
     (and the quadratic-blowup risk).
 
@@ -298,16 +299,12 @@ def _kmeans_fit(vectors: np.ndarray, k: int, iterations: int = 5) -> np.ndarray:
     return centroids
 
 
-def _fit_quantizer(
-    corpus: DataFrame,
-    corpus_id: str,
-    num_centroids: int,
-    train_sample: int,
-    kmeans_iterations: int,
-) -> np.ndarray:
-    """Fit the IVF coarse quantizer on a bounded, order-deterministic
-    sample: rows ordered by xxhash64(id) (id tie-break for collisions),
-    then limit(train_sample).  orderBy+limit compiles to a distributed
+def _sample_embedding_matrix(corpus: DataFrame, corpus_id: str, n: int) -> np.ndarray:
+    """THE bounded, order-deterministic driver-side sample — shared by
+    the IVF quantizer fit and both recall choosers so the simulations
+    see exactly the geometry the operator will (one recipe, one place):
+    non-null embeddings ordered by xxhash64(id) (id tie-break for hash
+    collisions), then limit(n).  orderBy+limit compiles to a distributed
     partial top-k (TakeOrderedAndProject), so the SAME rows arrive in the
     SAME order at any parallelism — the r02 version's bare ``limit``
     took whichever partitions answered first, which is stable on a local
@@ -315,14 +312,37 @@ def _fit_quantizer(
     the engine's north rule promises run-identical output.  Ordering by
     the id hash (not the id) also makes the sample an unbiased
     pseudo-random draw rather than the id-smallest prefix."""
-    sample = (
+    rows = (
         corpus.where(F.col("embedding").isNotNull())
         .select(F.col(corpus_id).alias("__cid"), "embedding")
         .orderBy(F.xxhash64(F.col("__cid")), F.col("__cid"))
-        .limit(train_sample)
+        .limit(n)
         .toPandas()["embedding"]
     )
-    vecs = np.array([np.asarray(x, dtype=np.float64) for x in sample])
+    return np.array([np.asarray(x, dtype=np.float64) for x in rows])
+
+
+def _sample_unit_sims(mat: np.ndarray) -> np.ndarray:
+    """Pairwise cosine matrix of the sample with the self-diagonal
+    masked — the true-neighbor prep both choosers simulate against."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    return sims
+
+
+def _fit_quantizer(
+    corpus: DataFrame,
+    corpus_id: str,
+    num_centroids: int,
+    train_sample: int,
+    kmeans_iterations: int,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer on the shared order-deterministic
+    sample (``_sample_embedding_matrix``)."""
+    vecs = _sample_embedding_matrix(corpus, corpus_id, train_sample)
     if len(vecs) == 0:
         raise ValueError("ivf_topk: empty corpus (cannot fit the coarse quantizer)")
     return _kmeans_fit(vecs, num_centroids, kmeans_iterations)
@@ -458,6 +478,7 @@ def choose_lsh_params(
     allow_multi_probe: bool = True,
     seed: int = 42,
     max_bucket: int | None = 100_000,
+    n_queries: int | None = None,
 ) -> dict:
     """Pick (num_planes, num_tables, multi_probe) for ``lsh_topk`` to hit
     a TARGET recall@k on THIS corpus (VERDICT r04 #2: the defaults gave a
@@ -479,35 +500,35 @@ def choose_lsh_params(
 
     The prediction must respect ``lsh_topk``'s bucket-size guard
     (``max_bucket``, same default): the closed form assumes every
-    colliding bucket is probed, but the guard anti-joins buckets larger
-    than the cap, so a plane count whose MEAN bucket load
-    (|corpus| / 2^planes) approaches the cap would silently shed exactly
-    the buckets carrying the recall.  Configs with mean load >
-    ``max_bucket``/4 are excluded from the grid (one extra count() job);
-    the remaining caveat — a single near-duplicate mass bigger than the
-    cap collapses into one over-cap bucket at EVERY plane count — is an
-    exact/MinHash-dedup problem by the guard's own contract, not a knob
-    the chooser can fix, and is documented on ``lsh_topk``.
+    colliding bucket is probed, but the guard anti-joins buckets where
+    EITHER side exceeds the cap, so a config whose MEAN per-bucket load
+    approaches it would silently shed exactly the buckets carrying the
+    recall.  Both sides are screened (one extra count() job): corpus
+    load = |embedded corpus| / 2^planes, and query load = |queries| ×
+    probes / 2^planes — multi-probing multiplies the query-side keys by
+    (1 + planes), which is what makes a corpus-scale query set (all-pairs
+    top-k) overflow buckets the corpus alone would not.  ``n_queries``
+    defaults to the corpus size (the self-retrieval shape); pass the real
+    query count for asymmetric workloads.  Configs whose max side load >
+    ``max_bucket``/4 are excluded from the grid; the remaining caveat —
+    a single near-duplicate mass bigger than the cap collapses into one
+    over-cap bucket at EVERY plane count — is an exact/MinHash-dedup
+    problem by the guard's own contract, not a knob the chooser can fix,
+    and is documented on ``lsh_topk``.
 
     Returns {"num_planes", "num_tables", "multi_probe",
     "predicted_recall", "met_target"} — splat the first three into
     ``lsh_topk(**params)``."""
-    corpus_rows = corpus.count() if max_bucket is not None else 0
-    rows = (
-        corpus.where(F.col("embedding").isNotNull())
-        .select(F.col(corpus_id).alias("__cid"), "embedding")
-        .orderBy(F.xxhash64(F.col("__cid")), F.col("__cid"))
-        .limit(sample)
-        .toPandas()["embedding"]
+    corpus_rows = (
+        corpus.where(F.col("embedding").isNotNull()).count()
+        if max_bucket is not None
+        else 0
     )
-    mat = np.array([np.asarray(x, dtype=np.float64) for x in rows])
+    q_rows = n_queries if n_queries is not None else corpus_rows
+    mat = _sample_embedding_matrix(corpus, corpus_id, sample)
     if len(mat) < 2:
         raise ValueError("choose_lsh_params: need ≥2 non-null embeddings")
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    sims = unit @ unit.T
-    np.fill_diagonal(sims, -np.inf)
+    sims = _sample_unit_sims(mat)
     kk = min(k, len(mat) - 1)
     # top-k cosine per sample row → the angle distribution the tables
     # must recover; sample-vs-sample top-k is a stand-in for
@@ -519,10 +540,11 @@ def choose_lsh_params(
     best, best_cost = None, None
     fallback, fallback_recall = None, -1.0
     for planes in planes_grid:
-        if max_bucket is not None and corpus_rows / 2.0**planes > max_bucket / 4:
-            continue  # mean bucket load would brush the guard cap
         for mp in ((False, True) if allow_multi_probe else (False,)):
             probes = 1 + planes if mp else 1
+            side_load = max(corpus_rows, q_rows * probes)
+            if max_bucket is not None and side_load / 2.0**planes > max_bucket / 4:
+                continue  # a side's mean bucket load would brush the guard cap
             for tables in range(1, max_tables + 1):
                 r = _predicted_lsh_recall(angles, planes, tables, mp)
                 if r > fallback_recall:
@@ -600,22 +622,11 @@ def choose_ivf_params(
     Returns {"num_centroids", "nprobe", "predicted_recall",
     "met_target"} — splat the first two into ``ivf_topk(**params)``;
     ``predicted_recall`` is the raw simulated value (pre-margin)."""
-    rows = (
-        corpus.where(F.col("embedding").isNotNull())
-        .select(F.col(corpus_id).alias("__cid"), "embedding")
-        .orderBy(F.xxhash64(F.col("__cid")), F.col("__cid"))
-        .limit(sample)
-        .toPandas()["embedding"]
-    )
-    mat = np.array([np.asarray(x, dtype=np.float64) for x in rows])
+    mat = _sample_embedding_matrix(corpus, corpus_id, sample)
     n = len(mat)
     if n < 2:
         raise ValueError("choose_ivf_params: need ≥2 non-null embeddings")
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    sims = unit @ unit.T
-    np.fill_diagonal(sims, -np.inf)
+    sims = _sample_unit_sims(mat)
     kk = min(k, n - 1)
     nbr_idx = np.argsort(-sims, axis=1)[:, :kk]  # true top-k per sample row
 

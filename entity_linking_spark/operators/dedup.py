@@ -60,6 +60,20 @@ from entity_linking_spark.functions.hashing import (
 from entity_linking_spark.functions.text import normalize_text, words
 
 
+def _max_partition_bytes(df: DataFrame) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (accepts 128m-style
+    suffixed conf values)."""
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    n = int("".join(ch for ch in conf if ch.isdigit()) or "134217728")
+    if conf.rstrip("bB").lower().endswith(("k", "m", "g")):
+        n *= {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
+            conf.rstrip("bB").lower()[-1]
+        ]
+    return n
+
+
 def _parallelize_scan(df: DataFrame) -> DataFrame:
     """Small-input guard for CPU-heavy signature scans.
 
@@ -115,28 +129,35 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
         # leave LogicalRDD leaves and would eat the repartition — the
         # engine's own scale convention keeps corpus-sized inputs
         # file-backed or catalog stages (CLAUDE.md production shapes),
-        # where the split-estimate path below governs instead.  Leaf inspection is a
-        # logical-plan walk — no RDD conversion (the r03 partition-count
-        # probe forced physical planning per call; the no-RDD invariant
-        # is pytest-gated).
+        # where the split-estimate path below governs instead.  A cached
+        # frame (InMemoryRelation leaf — a persisted createDataFrame
+        # corpus is normal caller behavior) is widened only when its
+        # optimizer size estimate says it would have been fewer than p
+        # file splits: a starved small cache gets the cheap repartition
+        # back, a big cache is never force-shuffled.  Leaf inspection is
+        # a logical-plan walk — no RDD conversion (the r03
+        # partition-count probe forced physical planning per call; the
+        # no-RDD invariant is pytest-gated).
         try:
-            leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+            plan = df._jdf.queryExecution().optimizedPlan()
+            leaves = plan.collectLeaves()
             names = {
                 leaves.apply(i).nodeName() for i in range(leaves.size())
             }
         except Exception:
             return df  # un-introspectable (e.g. Connect): never guess
-        if names and names <= {"LocalRelation", "OneRowRelation", "LogicalRDD"}:
+        bounded = {"LocalRelation", "OneRowRelation", "LogicalRDD"}
+        if names and names <= bounded:
             return df.repartition(p)
+        if names and names <= bounded | {"InMemoryRelation"}:
+            try:
+                size = int(str(plan.stats().sizeInBytes()))
+            except Exception:
+                return df
+            if math.ceil(size / _max_partition_bytes(df)) < p:
+                return df.repartition(p)
         return df
-    max_bytes_conf = df.sparkSession.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728"
-    )
-    max_bytes = int("".join(ch for ch in max_bytes_conf if ch.isdigit()) or "134217728")
-    if max_bytes_conf.rstrip("bB").lower().endswith(("k", "m", "g")):
-        max_bytes *= {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
-            max_bytes_conf.rstrip("bB").lower()[-1]
-        ]
+    max_bytes = _max_partition_bytes(df)
     splits = 0
     for f in files:
         parsed = urlparse(f)

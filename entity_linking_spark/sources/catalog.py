@@ -125,14 +125,18 @@ class Catalog:
         """Create-vs-grow decision for the Iceberg branch keys on TABLE
         existence, not on the manifest alone (ADVICE r04: a lost manifest
         entry while the table exists must not let createOrReplace wipe
-        it); the manifest is the fallback signal when the catalog lookup
-        itself is unavailable (mocked tests / misconfigured catalog)."""
+        it).  A DEFINITIVE catalog answer wins either way — in particular
+        a definitive False (table dropped / warehouse recreated while the
+        manifest root survived) must route to the create branch, not to
+        grow-by-overwrite on a nonexistent table.  The manifest is the
+        fallback signal only when the lookup itself RAISES (mocked tests
+        / misconfigured catalog — in this sandbox `local.db.*` parsing
+        raises, which is what keeps the mocked replay tests on the
+        manifest path)."""
         try:
-            if self.spark.catalog.tableExists(f"local.db.{name}"):
-                return True
+            return bool(self.spark.catalog.tableExists(f"local.db.{name}"))
         except Exception:
-            pass
-        return bool(self._manifest().get(name))
+            return bool(self._manifest().get(name))
 
     # -- table IO -----------------------------------------------------------
     def _path(self, name: str) -> str:

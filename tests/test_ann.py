@@ -349,3 +349,69 @@ def test_choose_ivf_params_honest_fallback_under_probe_budget(spark):
         df, dim=DIM, k=5, target_recall=0.99, sample=64, centroid_grid=(16,)
     )
     assert full["met_target"] is True
+
+
+def test_choose_lsh_params_screens_query_side_multiprobe_load(spark):
+    """The bucket guard drops buckets where EITHER side over-fills, and
+    multi-probe multiplies the QUERY-side keys by (1 + planes) — so the
+    chooser's load screen must model both sides, not just the corpus
+    (a corpus-scale query set would otherwise get met_target=True for a
+    config the guard then guts).  n_queries declares the real query
+    count for asymmetric workloads."""
+    from entity_linking_spark.operators.ann import choose_lsh_params
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(64):
+        v = rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "corpus_id long, embedding array<float>")
+
+    # planes=6, ≤8 tables: only multi-probe reaches 0.6 on this uniform
+    # corpus.  max_bucket=8 → cap/4 = 2: corpus load 64/64 = 1 passes,
+    # but the self-retrieval query side under multi-probe is
+    # 64·(1+6)/64 = 7 > 2 — mp must be screened → target unreachable.
+    capped = choose_lsh_params(
+        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        planes_grid=(6,), max_tables=8, max_bucket=8,
+    )
+    assert capped["met_target"] is False
+    assert capped["multi_probe"] is False
+
+    # same cap, but the caller declares a tiny query set: query-side
+    # load 1·7/64 ≪ 2 — multi-probe is back on the grid and meets
+    small_q = choose_lsh_params(
+        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        planes_grid=(6,), max_tables=8, max_bucket=8, n_queries=1,
+    )
+    assert small_q["met_target"] is True
+    assert small_q["multi_probe"] is True
+
+    # no guard → no screen: multi-probe meets the target outright
+    uncapped = choose_lsh_params(
+        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        planes_grid=(6,), max_tables=8, max_bucket=None,
+    )
+    assert uncapped["met_target"] is True
+    assert uncapped["multi_probe"] is True
+
+
+def test_choose_lsh_params_load_screen_ignores_null_embeddings(spark, vec_df):
+    """The screen's corpus size must count EMBEDDED rows only — lsh_topk
+    drops NULL embeddings before bucketing, so a mostly-NULL corpus
+    (common after a failed encode backfill) must not screen out every
+    config that the real bucketed population passes."""
+    from entity_linking_spark.operators.ann import choose_lsh_params
+
+    c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
+    nulls = spark.range(10_000).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("corpus_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    # 100 embedded rows: load 100·1/16 ≈ 6 ≤ cap/4 = 25 — passes; the
+    # 10_100-row raw count would read 631 > 25 and screen everything
+    params = choose_lsh_params(
+        c.unionByName(nulls), dim=DIM, k=3, target_recall=0.5, sample=100,
+        planes_grid=(4,), allow_multi_probe=False, max_bucket=100,
+    )
+    assert params["met_target"] is True

@@ -403,3 +403,45 @@ def test_mixed_append_and_sink_growth_accounting(spark, tmp_path):
     assert entry["batches"] == {"0": 1}
     assert entry["rows"] == 5
     assert cat.read("s").count() == 5
+
+
+def test_iceberg_table_exists_honors_definitive_catalog_answer(spark, tmp_path):
+    """A DEFINITIVE tableExists answer wins over the manifest: a dropped
+    table (or recreated warehouse) with a surviving manifest entry must
+    route append()/the sink to the CREATE branch, not to
+    grow-by-overwrite on a nonexistent table; the manifest fallback
+    fires only when the catalog lookup itself raises (the mocked-test /
+    misconfigured-catalog path)."""
+    from types import SimpleNamespace
+
+    from entity_linking_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ice"))
+    cat.use_iceberg = True
+    cat._update_manifest("s", lambda _e: {"rows": 5, "complete": True})
+
+    real_spark = cat.spark
+
+    def fake(answer):
+        return SimpleNamespace(
+            catalog=SimpleNamespace(tableExists=lambda _n: answer)
+        )
+
+    def raising():
+        def boom(_n):
+            raise RuntimeError("no such catalog")
+
+        return SimpleNamespace(catalog=SimpleNamespace(tableExists=boom))
+
+    try:
+        cat.spark = fake(False)
+        assert cat._iceberg_table_exists("s") is False, (
+            "definitive False must beat the stale manifest entry"
+        )
+        cat.spark = fake(True)
+        assert cat._iceberg_table_exists("s") is True
+        cat.spark = raising()
+        assert cat._iceberg_table_exists("s") is True  # manifest fallback
+        assert cat._iceberg_table_exists("missing") is False
+    finally:
+        cat.spark = real_spark

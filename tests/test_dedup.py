@@ -471,3 +471,38 @@ def test_incremental_dedup_forwards_nondefault_seed(spark, tmp_path):
         new, None, "id", "text", ref_sigs=stage, shingle_k=2  # default 42
     ).collect()}
     assert out_mismatch[100] is True
+
+
+def test_parallelize_scan_widens_small_cached_frames_only(spark, tmp_path):
+    """A persisted createDataFrame corpus (InMemoryRelation leaf —
+    normal caller behavior before a dedup pass) must get the starved-scan
+    widen back, but ONLY when the optimizer's size estimate says it
+    would have been fewer than p file splits: a big cache is never
+    force-shuffled (code-review r5: the leaf allow-list silently dropped
+    cached frames from the widen entirely)."""
+    from entity_linking_spark.operators.dedup import _parallelize_scan
+
+    p = spark.sparkContext.defaultParallelism
+    cached = (
+        spark.createDataFrame(DOCS, "id string, text string")
+        .coalesce(1)
+        .persist()
+    )
+    try:
+        cached.count()
+        widened = _parallelize_scan(cached)
+        assert widened.rdd.getNumPartitions() == p
+        assert sorted(r["id"] for r in widened.collect()) == sorted(
+            d[0] for d in DOCS
+        )
+
+        # same cached frame, but with maxPartitionBytes dialed to 1 byte
+        # its size estimate is ≥ p splits → pass-through untouched
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        try:
+            assert _parallelize_scan(cached) is cached
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    finally:
+        cached.unpersist()

@@ -160,10 +160,19 @@ def el_hot_path(spark, fixture_dir: str):
     return n_pairs, n_nodes
 
 
-def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
+def _recall_suite(spark, q, c, dim: int, k: int, target: float,
+                  n_queries: int) -> dict:
     """Recall@k vs brute force for: the historical default LSH point, the
     ``choose_lsh_params``-selected config for ``target``, and the IVF
-    point — on one (queries, corpus) pair."""
+    point — on one (queries, corpus) pair.  ``n_queries`` is the REAL
+    query-side row count: the bench workload is asymmetric (hundreds of
+    queries vs the full corpus), and without it the chooser's bucket-load
+    screen models a corpus-sized query set, excluding multi-probe configs
+    the actual run would pass.  ``max_nprobe`` bounds the IVF probe
+    budget to the historical default point's, keeping ``met_target``
+    falsifiable (unbounded, nprobe = num_centroids is brute force with
+    recall 1.0 by construction, so some config always 'meets' any
+    target)."""
     from entity_linking_spark.operators._cache import release_cached
     from entity_linking_spark.operators.ann import (
         brute_force_topk, choose_ivf_params, choose_lsh_params, ivf_topk,
@@ -186,12 +195,14 @@ def _recall_suite(spark, q, c, dim: int, k: int, target: float) -> dict:
 
     lsh_default = {"num_planes": 6, "num_tables": 8}
     chosen = choose_lsh_params(
-        c, dim=dim, k=k, target_recall=target, max_tables=32
+        c, k=k, target_recall=target, max_tables=32, n_queries=n_queries
     )
     chosen_knobs = {kk: chosen[kk]
                     for kk in ("num_planes", "num_tables", "multi_probe")}
     ivf_params = {"num_centroids": 16, "nprobe": 4}
-    ivf_chosen = choose_ivf_params(c, dim=dim, k=k, target_recall=target)
+    ivf_chosen = choose_ivf_params(
+        c, k=k, target_recall=target, max_nprobe=ivf_params["nprobe"]
+    )
     ivf_knobs = {kk: ivf_chosen[kk] for kk in ("num_centroids", "nprobe")}
     out = {
         "lsh": {"recall": lsh_recall(**lsh_default), **lsh_default},
@@ -234,7 +245,7 @@ def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500,
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    uniform = _recall_suite(spark, q, c, dim, k, target)
+    uniform = _recall_suite(spark, q, c, dim, k, target, n_queries=q.count())
     corpus_size = c.count()
 
     # clustered corpus: 50 well-separated centers, tight noise — the
@@ -251,7 +262,9 @@ def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500,
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cc = cdf.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    clustered = _recall_suite(spark, qc, cc, dim, k, target)
+    clustered = _recall_suite(
+        spark, qc, cc, dim, k, target, n_queries=min(n_queries, 2000)
+    )
 
     return {
         "k": k,

@@ -36,8 +36,13 @@ def char_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     captured the string EXPRESSION inside the lambda, and HOF lambdas
     re-evaluate captured subtrees PER ELEMENT (CodegenFallback, no CSE)
     — O(len) re-evaluations of the upstream normalize/lower chain per
-    row, i.e. O(len²) per document."""
-    c = _c(col)
+    row, i.e. O(len²) per document.
+
+    NULL input is treated as "" (→ [""]): F.split propagates NULL, which
+    would silently drop NULL-surface rows from blocking candidate
+    generation (they previously produced a shared sentinel gram and thus
+    still paired with each other)."""
+    c = F.coalesce(_c(col), F.lit(""))
     chars = F.split(c, "")
     n_g = F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
     grams = F.slice(chars, 1, n_g)
@@ -60,8 +65,11 @@ def word_shingles(words_col: Column | str, k: int = 2) -> Column:
     shingling O(words × tokenize) per row, measured MINUTES on a
     500k-word document and a hidden constant on every corpus-scale
     signature scan.  An empty word array still yields [""] (the
-    empty-doc sentinel the MinHash family filters on)."""
-    w = _c(words_col)
+    empty-doc sentinel the MinHash family filters on), and a NULL word
+    array (words(NULL) propagates) is treated as empty — NULL docs get
+    the same sentinel instead of a NULL shingle array that would leak
+    NULL signatures past the n_sh = 0 band filter's intent."""
+    w = F.coalesce(_c(words_col), F.array().cast("array<string>"))
     n_sh = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
     sh = F.slice(w, 1, n_sh)
     for j in range(1, k):

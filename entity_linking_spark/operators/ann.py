@@ -468,7 +468,6 @@ def _predicted_lsh_recall(
 
 def choose_lsh_params(
     corpus: DataFrame,
-    dim: int,
     k: int = 10,
     target_recall: float = 0.9,
     corpus_id: str = "corpus_id",
@@ -476,7 +475,6 @@ def choose_lsh_params(
     planes_grid: tuple = (4, 6, 8, 10, 12),
     max_tables: int = 64,
     allow_multi_probe: bool = True,
-    seed: int = 42,
     max_bucket: int | None = 100_000,
     n_queries: int | None = None,
 ) -> dict:
@@ -518,7 +516,10 @@ def choose_lsh_params(
 
     Returns {"num_planes", "num_tables", "multi_probe",
     "predicted_recall", "met_target"} — splat the first three into
-    ``lsh_topk(**params)``."""
+    ``lsh_topk(**params)``.  The closed-form prediction is a population
+    estimate over random hyperplanes, so it is independent of
+    ``lsh_topk``'s seed (and of dim — the sample carries it); neither is
+    a parameter here."""
     corpus_rows = (
         corpus.where(F.col("embedding").isNotNull()).count()
         if max_bucket is not None
@@ -579,7 +580,6 @@ def choose_lsh_params(
 
 def choose_ivf_params(
     corpus: DataFrame,
-    dim: int,
     k: int = 10,
     target_recall: float = 0.9,
     corpus_id: str = "corpus_id",

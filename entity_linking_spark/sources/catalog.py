@@ -395,7 +395,28 @@ class Catalog:
                     if not self._iceberg_table_exists(name):
                         tagged.writeTo(table).using("iceberg").createOrReplace()
                     else:
-                        tagged.writeTo(table).overwrite(
+                        # same pre-stamping migration guard as append():
+                        # a table created before helper-column stamping
+                        # rejects the extra data columns mid-stream with
+                        # a cryptic analysis error; the sink's idempotence
+                        # REQUIRES __batch_id, so fail with the migration
+                        # instruction instead
+                        existing = set(self._iceberg_columns(name) or [])
+                        out = tagged
+                        if existing:
+                            missing = [
+                                c for c in ("__append_tag", "__batch_id")
+                                if c not in existing
+                            ]
+                            if "__batch_id" in missing:
+                                raise ValueError(
+                                    f"stage '{name}' predates batch-id "
+                                    "stamping (no __batch_id column); run a "
+                                    "full write() to migrate before "
+                                    "streaming into it"
+                                )
+                            out = tagged.drop(*missing)
+                        out.writeTo(table).overwrite(
                             F.col("__batch_id") == F.lit(batch_id)
                         )
                     n = batch_df.count()

@@ -233,7 +233,7 @@ def test_choose_lsh_params_hits_target_on_clustered_corpus(spark, vec_df):
     from entity_linking_spark.operators.ann import choose_lsh_params
 
     c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
-    params = choose_lsh_params(c, dim=DIM, k=3, target_recall=0.9, sample=100)
+    params = choose_lsh_params(c, k=3, target_recall=0.9, sample=100)
     assert params["met_target"] and params["predicted_recall"] >= 0.9
 
     q = vec_df.select(F.col("id").alias("query_id"), "embedding")
@@ -262,7 +262,7 @@ def test_choose_lsh_params_honest_fallback_when_target_unreachable(spark):
         rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
     df = spark.createDataFrame(rows, "corpus_id long, embedding array<float>")
     params = choose_lsh_params(
-        df, dim=DIM, k=5, target_recall=0.999, sample=64,
+        df, k=5, target_recall=0.999, sample=64,
         planes_grid=(10, 12), max_tables=2, allow_multi_probe=False,
     )
     assert params["met_target"] is False
@@ -285,7 +285,7 @@ def test_choose_lsh_params_respects_bucket_guard(spark, vec_df):
     # screen (n / 2^planes > cap/4 for all planes): honest fallback
     tiny_cap = max(1, int(n / 2 ** 4))
     params = choose_lsh_params(
-        c, dim=DIM, k=3, target_recall=0.5, sample=100,
+        c, k=3, target_recall=0.5, sample=100,
         planes_grid=(2, 3, 4), max_bucket=tiny_cap,
     )
     assert params["met_target"] is False
@@ -294,7 +294,7 @@ def test_choose_lsh_params_respects_bucket_guard(spark, vec_df):
     # max_bucket=None disables the screen entirely: same grid now meets
     # the same target (clustered corpus, low bar)
     params_off = choose_lsh_params(
-        c, dim=DIM, k=3, target_recall=0.5, sample=100,
+        c, k=3, target_recall=0.5, sample=100,
         planes_grid=(2, 3, 4), max_bucket=None,
     )
     assert params_off["met_target"] is True
@@ -307,7 +307,7 @@ def test_choose_ivf_params_hits_target_on_clustered_corpus(spark, vec_df):
     from entity_linking_spark.operators.ann import choose_ivf_params, ivf_topk
 
     c = vec_df.select(F.col("id").alias("corpus_id"), "embedding")
-    params = choose_ivf_params(c, dim=DIM, k=3, target_recall=0.9, sample=100)
+    params = choose_ivf_params(c, k=3, target_recall=0.9, sample=100)
     assert params["met_target"] and params["predicted_recall"] >= 0.9
 
     q = vec_df.select(F.col("id").alias("query_id"), "embedding")
@@ -336,7 +336,7 @@ def test_choose_ivf_params_honest_fallback_under_probe_budget(spark):
     # uniform corpus: true neighbors scatter across lists, so 1 probe of
     # 16 lists cannot reach 0.99 recall
     params = choose_ivf_params(
-        df, dim=DIM, k=5, target_recall=0.99, sample=64,
+        df, k=5, target_recall=0.99, sample=64,
         centroid_grid=(16,), max_nprobe=1,
     )
     assert params["met_target"] is False
@@ -346,7 +346,7 @@ def test_choose_ivf_params_honest_fallback_under_probe_budget(spark):
     # unbounded: nprobe may rise to num_centroids, where recall is 1.0
     # by construction — the target is met
     full = choose_ivf_params(
-        df, dim=DIM, k=5, target_recall=0.99, sample=64, centroid_grid=(16,)
+        df, k=5, target_recall=0.99, sample=64, centroid_grid=(16,)
     )
     assert full["met_target"] is True
 
@@ -372,7 +372,7 @@ def test_choose_lsh_params_screens_query_side_multiprobe_load(spark):
     # but the self-retrieval query side under multi-probe is
     # 64·(1+6)/64 = 7 > 2 — mp must be screened → target unreachable.
     capped = choose_lsh_params(
-        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        df, k=5, target_recall=0.6, sample=64,
         planes_grid=(6,), max_tables=8, max_bucket=8,
     )
     assert capped["met_target"] is False
@@ -381,7 +381,7 @@ def test_choose_lsh_params_screens_query_side_multiprobe_load(spark):
     # same cap, but the caller declares a tiny query set: query-side
     # load 1·7/64 ≪ 2 — multi-probe is back on the grid and meets
     small_q = choose_lsh_params(
-        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        df, k=5, target_recall=0.6, sample=64,
         planes_grid=(6,), max_tables=8, max_bucket=8, n_queries=1,
     )
     assert small_q["met_target"] is True
@@ -389,7 +389,7 @@ def test_choose_lsh_params_screens_query_side_multiprobe_load(spark):
 
     # no guard → no screen: multi-probe meets the target outright
     uncapped = choose_lsh_params(
-        df, dim=DIM, k=5, target_recall=0.6, sample=64,
+        df, k=5, target_recall=0.6, sample=64,
         planes_grid=(6,), max_tables=8, max_bucket=None,
     )
     assert uncapped["met_target"] is True
@@ -411,7 +411,7 @@ def test_choose_lsh_params_load_screen_ignores_null_embeddings(spark, vec_df):
     # 100 embedded rows: load 100·1/16 ≈ 6 ≤ cap/4 = 25 — passes; the
     # 10_100-row raw count would read 631 > 25 and screen everything
     params = choose_lsh_params(
-        c.unionByName(nulls), dim=DIM, k=3, target_recall=0.5, sample=100,
+        c.unionByName(nulls), k=3, target_recall=0.5, sample=100,
         planes_grid=(4,), allow_multi_probe=False, max_bucket=100,
     )
     assert params["met_target"] is True

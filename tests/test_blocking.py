@@ -50,6 +50,29 @@ def test_candidates_are_subset_of_exhaustive(spark, fixture_dfs):
     assert pairs.count() < exh.count() * 0.5
 
 
+def test_null_surface_rows_still_generate_candidates(spark):
+    """Records whose surface/title is NULL (dirty web data) must not be
+    silently excluded from blocking: they share the NULL→"" sentinel
+    gram, so a NULL-surface mention still pairs with a NULL-title
+    entity.  Regression for the r5 zip_with rewrite, whose NULL gram
+    arrays exploded to zero key rows."""
+    m = spark.createDataFrame(
+        [(1, None), (2, "acme corp")], "mention_id long, s string"
+    )
+    e = spark.createDataFrame(
+        [(10, None), (20, "acme corp")], "entity_id long, s string"
+    )
+    for conf in (BlockingConfig(), BlockingConfig(compact_keys=True)):
+        mk = blocking_keys(m, "mention_id", "s", conf)
+        ek = blocking_keys(e, "entity_id", "s", conf)
+        got = {
+            (r["mention_id"], r["entity_id"])
+            for r in candidate_pairs(mk, ek, conf).collect()
+        }
+        assert (1, 10) in got, conf
+        assert (2, 20) in got, conf
+
+
 def test_salting_does_not_change_pair_set(spark, fixture_dfs):
     """Explicit hot-key salting is a pure physical rewrite: with
     hot_threshold=0 every key goes down the salted path and the logical

@@ -168,6 +168,10 @@ class _FakeStreamBatch:
         self.calls.append(("withColumn", name))
         return self
 
+    def drop(self, *cols):
+        self.calls.append(("drop", cols))
+        return self
+
     def writeTo(self, table):
         self.calls.append(("writeTo", table))
         return _FakeBatchWriter(self.store, self._df.count(), self.calls)
@@ -203,6 +207,37 @@ def test_foreach_batch_sink_iceberg_branch_idempotent_replay(spark, tmp_path):
     # every non-create batch used overwrite-by-filter on __batch_id
     overwrites = [c for c in calls if c[0] == "overwrite"]
     assert len(overwrites) == 2 and all("__batch_id" in c[1] for c in overwrites)
+
+
+def test_foreach_batch_sink_aligns_to_pre_stamping_iceberg_table(spark, tmp_path):
+    """Streaming into an Iceberg table created BEFORE helper-column
+    stamping (append()'s twin guard): the sink's replay idempotence
+    REQUIRES __batch_id, so a table lacking it must get the migration
+    ValueError up front, not Spark's cryptic extra-data-columns error
+    mid-stream; a table missing only __append_tag streams fine with the
+    column dropped to match the live schema."""
+    import pytest
+
+    from entity_linking_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ice"))
+    cat.use_iceberg = True
+    cat._iceberg_table_exists = lambda name: True
+    sink = cat.foreach_batch_sink("legacy")
+
+    cat._iceberg_columns = lambda name: ["id", "v"]  # pre-stamping schema
+    with pytest.raises(ValueError, match="predates batch-id stamping"):
+        sink(_FakeStreamBatch(
+            spark.createDataFrame([(1, "a")], "id long, v string"), {}, []), 0)
+
+    # only __append_tag missing → drop it and land via overwrite as usual
+    cat._iceberg_columns = lambda name: ["id", "v", "__batch_id"]
+    store, calls = {}, []
+    sink(_FakeStreamBatch(
+        spark.createDataFrame([(2, "b")], "id long, v string"), store, calls), 0)
+    assert ("drop", ("__append_tag",)) in calls
+    assert any(c[0] == "overwrite" and "__batch_id" in c[1] for c in calls)
+    assert cat._manifest()["legacy"]["rows"] == 1
 
 
 def test_foreach_batch_sink_migrates_legacy_batch_stage(spark, tmp_path):

@@ -29,6 +29,20 @@ def test_word_shingles(spark):
     assert got == ["a b", "b c", "c d"]
 
 
+def test_ngrams_and_shingles_treat_null_as_empty(spark):
+    """NULL text must behave like "" — F.split propagates NULL, which
+    (r5 zip_with rewrite) silently turned NULL-surface gram arrays into
+    NULL, dropping those rows from blocking candidate generation
+    entirely (explode of NULL emits zero rows)."""
+    df = spark.createDataFrame([(None,)], "t string")
+    row = df.select(
+        char_ngrams("t", 3).alias("g"),
+        word_shingles(words("t"), 2).alias("s"),
+    ).collect()[0]
+    assert row["g"] == [""]
+    assert row["s"] == [""]
+
+
 def test_minhash_estimates_jaccard(spark):
     """Signature-agreement fraction ≈ true Jaccard (±0.2 at 64 hashes)."""
     a = set("the quick brown fox jumps over the lazy dog".split())

@@ -23,6 +23,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# BENCH/BASELINE.md content from this line on survives --scaling rewrites
+MANUAL_SECTIONS_MARKER = (
+    "<!-- manual sections below: preserved across --scaling rewrites -->"
+)
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -595,7 +599,17 @@ def run_scaling() -> dict:
     }
     ks, kb = kernel["probe_small"], kernel["probe_big"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # everything below the marker is hand-authored analysis (phase
+    # breakdowns, round measurement context, A/B adjudications, the ANN
+    # recall frontier) — carry it across the probe's rewrite instead of
+    # silently destroying the measurement history
+    preserved = MANUAL_SECTIONS_MARKER + "\n"
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        if MANUAL_SECTIONS_MARKER in old:
+            preserved = old[old.index(MANUAL_SECTIONS_MARKER):]
+    with open(baseline_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — throughput & scaling efficiency\n\n"
             "North-rule two-cluster-size criterion, sandbox proxy: the same\n"
@@ -681,6 +695,7 @@ def run_scaling() -> dict:
             "quality baseline (retrieval rate / F1) is covered by pytest\n"
             "gates (tests/test_pipeline.py) and CORRECTNESS queries.\n"
         )
+        f.write("\n" + preserved)
     return report
 
 

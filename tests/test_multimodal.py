@@ -207,3 +207,85 @@ def test_strict_mode_image_is_real(spark):
              for r in extract_media_features(df, strict=True).collect()}
     assert feats["a"] == feats["b"]
     assert abs(sum(v * v for v in feats["a"]) - 1.0) < 1e-5
+
+
+def test_y4m_roundtrip_all_colourspaces():
+    """encode_y4m -> decode_y4m is identity for every supported chroma
+    layout, and fps survives the header round-trip."""
+    from entity_linking_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    for cs, (dw, dh) in [("420jpeg", (2, 2)), ("420", (2, 2)),
+                         ("422", (2, 1)), ("444", (1, 1)), ("mono", (0, 0))]:
+        n, h, w = 4, 6, 8
+        y = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+        cw, ch = (0, 0) if cs == "mono" else (w // dw, h // dh)
+        u = rng.randint(0, 256, (n, ch, cw), dtype=np.uint8)
+        v = rng.randint(0, 256, (n, ch, cw), dtype=np.uint8)
+        y2, u2, v2, fn, fd = decode_y4m(encode_y4m(y, u, v, fps=(24, 1),
+                                                   cspace=cs))
+        assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
+        assert (fn, fd) == (24, 1)
+
+
+def test_decode_y4m_rejects_malformed():
+    from entity_linking_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    y = np.zeros((2, 4, 4), np.uint8)
+    u = v = np.zeros((2, 2, 2), np.uint8)
+    blob = encode_y4m(y, u, v)
+    with pytest.raises(ValueError, match="signature"):
+        decode_y4m(b"RIFF" + blob)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(blob[:-1])
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(blob[: len(blob) - (4 * 4 + 2 * 2 * 2) - 6] + b"XRAME\n"
+                   + blob[-(4 * 4 + 2 * 2 * 2):])
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 C410\nFRAME\n" + b"\x00" * 24)
+
+
+def test_video_features_operator(spark):
+    """Decoded geometry/means come from the bytes, not metadata."""
+    from entity_linking_spark.operators.multimodal import (
+        encode_y4m, video_features,
+    )
+
+    rows = []
+    for i in range(5):
+        nf, h, w = 1 + i, 4, 6
+        y = np.full((nf, h, w), 10 * i, np.uint8)
+        u = np.full((nf, h // 2, w // 2), 7, np.uint8)
+        v = np.full((nf, h // 2, w // 2), 9, np.uint8)
+        rows.append((f"v{i}", bytearray(encode_y4m(y, u, v, fps=(30, 1)))))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r["media_id"]: r for r in video_features(df).collect()}
+    assert len(got) == 5
+    for i in range(5):
+        r = got[f"v{i}"]
+        assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 1 + i)
+        assert r["fps"] == 30.0
+        assert r["duration_sec"] == (1 + i) / 30
+        assert r["mean_y"] == float(10 * i)
+        assert (r["mean_u"], r["mean_v"]) == (7.0, 9.0)
+
+
+def test_sample_video_frames_real_decode(spark):
+    """Sampled indices follow range(0, n_frames, every_n) and each row's
+    luma mean is that frame's actual plane mean."""
+    from entity_linking_spark.operators.multimodal import (
+        encode_y4m, sample_video_frames,
+    )
+
+    nf, h, w = 7, 2, 4
+    y = np.stack([np.full((h, w), 5 * k, np.uint8) for k in range(nf)])
+    u = v = np.zeros((nf, h // 2, w // 2), np.uint8)
+    df = spark.createDataFrame(
+        [("clip", bytearray(encode_y4m(y, u, v)))],
+        "media_id string, content binary",
+    )
+    out = sorted(
+        (r["frame_index"], r["mean_y"])
+        for r in sample_video_frames(df, every_n=3).collect()
+    )
+    assert out == [(0, 0.0), (3, 15.0), (6, 30.0)]

@@ -323,6 +323,21 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate): every
+    corpus doc sharing ≥ 1 distinct 3-word shingle with the benchmark
+    slice (doc_id % 10 == 0) is flagged; the oracle replicates the
+    normalize/split/shingle pipeline in SQL over the same parquet."""
+    from entity_linking_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    bench = docs.where(F.col("id") % 10 == 0)
+    out = decontaminate(docs, bench, k=3, min_hits=1)
+    return out.select("id", "n_hits", "contaminated")
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "decontaminate": q_decontaminate,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1158,6 +1174,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sized sa ON sa.id = id_a
             JOIN sized sb ON sb.id = id_b
             WHERE n_inter / (sa.n_toks + sb.n_toks - n_inter) >= 0.9
+        """,
+        "decontaminate": """
+            -- replicate normalize/split/3-word-shingle exactly: filtered
+            -- whitespace split, n_sh = max(len-2, 1) shingles (short docs
+            -- yield one shingle of their available words, matching the
+            -- zip_with/concat_ws shape), distinct per doc
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ), t -> t <> '') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT id, list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 2, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS gs
+                FROM toks WHERE len(toks) > 0
+            ),
+            bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE id % 10 = 0),
+            hits AS (
+                SELECT id, count(*) AS n_hits
+                FROM (SELECT id, unnest(gs) AS g FROM grams) e
+                JOIN bench USING (g)
+                GROUP BY id
+            )
+            SELECT t.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM toks t LEFT JOIN hits h ON h.id = t.id
         """,
         "minhash_dedup": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b,

@@ -863,3 +863,69 @@ def dedup_assignment(df: DataFrame, id_col: str, pair_edges: DataFrame) -> DataF
         .join(cc.withColumnRenamed("node", "id"), "id", "left")
         .select("id", F.coalesce("cluster_id", "id").alias("keep_id"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 8,
+    min_hits: int = 1,
+    id_col: str = "id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    step): flag corpus documents that share at least ``min_hits``
+    distinct k-word shingles with a held-out benchmark/eval corpus, so
+    they can be dropped before training.  Returns ``docs`` plus
+    ``n_hits`` (distinct overlapping shingles) and ``contaminated``.
+
+    Scale shape: the benchmark shingle set is bounded by the BENCHMARK
+    size — thousands of eval documents, the genuinely tiny exceptional
+    set — so it is the one side that is folded to xxhash64 longs,
+    de-duplicated, and broadcast.  The training corpus streams through
+    a single scan → per-doc distinct shingles → broadcast inner join →
+    map-side-partial count per doc; contaminated ids (a small fraction
+    by construction) shuffle once on ``id_col`` for the final left
+    join back.  No corpus-proportional broadcast and no shuffle of
+    shingle strings (CLAUDE.md rule 11's legitimate direction: the
+    broadcast set scales with the eval suite, never the corpus).
+
+    Tokenization matches the dedup family: ``words(normalize_text(.))``
+    (Python str.split semantics), k-word shingles via the capture-free
+    ``word_shingles``; empty/NULL docs contribute no shingles (the
+    ``""`` sentinel is filtered, so they report n_hits = 0 instead of
+    matching other empty documents)."""
+    from entity_linking_spark.functions.hashing import word_shingles
+
+    bench_text = bench_text_col or text_col
+
+    def gram_array():
+        grams = F.array_distinct(
+            word_shingles(words(normalize_text(F.col("__t"))), k=k)
+        )
+        return F.filter(grams, lambda g: g != F.lit(""))
+
+    bench_grams = (
+        _parallelize_scan(benchmark.select(F.col(bench_text).alias("__t")))
+        .select(F.explode(gram_array()).alias("g"))
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    doc_hits = (
+        _parallelize_scan(docs.select(F.col(id_col).alias("__id"),
+                                      F.col(text_col).alias("__t")))
+        .select("__id", F.explode(gram_array()).alias("g"))
+        .select("__id", F.xxhash64("g").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        # shingles are already distinct per doc (array_distinct above),
+        # so count(*) == count(DISTINCT g) with a map-side partial agg
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(doc_hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") >= F.lit(min_hits))
+    )

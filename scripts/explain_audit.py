@@ -137,6 +137,17 @@ CHECKS = {
         ("only ts/event_type/value read",
          r"ReadSchema: struct<ts:timestamp(_ntz)?,event_type:string,value:double>"),
     ],
+    "decontaminate": [
+        ("shingles folded to xxhash64 bigints before any join", r"xxhash64"),
+        ("the ONLY broadcast hint is the benchmark gram set (eval-suite "
+         "sized by construction); the corpus-side join-back is left to "
+         "the planner/AQE",
+         lambda plan: plan.count("strategy=broadcast") == 1),
+        ("benchmark gram join is a broadcast inner join on the folded key",
+         r"BroadcastHashJoin \[g#\d+L?\], \[g#\d+L?\], Inner"),
+        ("per-doc hit count aggregates map-side partial first",
+         r"partial_count"),
+    ],
     "minhash_dedup": [
         ("signatures computed in scan projection (no pre-shuffle)", r"Project"),
         ("INVERTED bucket guard: over-cap set broadcast + anti-join, "

@@ -506,3 +506,48 @@ def test_parallelize_scan_widens_small_cached_frames_only(spark, tmp_path):
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     finally:
         cached.unpersist()
+
+
+def test_decontaminate_planted(spark):
+    """A doc quoting 8 consecutive benchmark words is flagged; clean and
+    empty docs are not, and empty docs never match each other via the
+    shingle sentinel."""
+    from entity_linking_spark.operators.dedup import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + bench_text + " and a tail"),  # quotes 8-gram
+            (2, "completely unrelated training text with its own words"),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text), (9, "")],
+                                  "id long, text string")
+    out = {r["id"]: r for r in
+           decontaminate(docs, bench, k=8, min_hits=1).collect()}
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+    assert not out[4]["contaminated"] and out[4]["n_hits"] == 0
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    """min_hits raises the bar: one shared shingle is below a min_hits=2
+    threshold, two distinct shared shingles meet it."""
+    from entity_linking_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma zzz"), (2, "alpha beta gamma delta qqq")],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "alpha beta gamma delta")],
+                                  "id long, text string")
+    out = {r["id"]: r for r in
+           decontaminate(docs, bench, k=3, min_hits=2).collect()}
+    # doc 1 shares only "alpha beta gamma"; doc 2 also "beta gamma delta"
+    assert out[1]["n_hits"] == 1 and not out[1]["contaminated"]
+    assert out[2]["n_hits"] == 2 and out[2]["contaminated"]

@@ -338,6 +338,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "n_hits", "contaminated")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/quality.py:redact_pii — C4/RefinedWeb
+    hygiene): emails / IPv4s / phone numbers planted deterministically
+    from doc_id are counted on the original text and replaced with typed
+    placeholders, all in one JVM regexp projection; the oracle replays
+    the identical construction and (Java∩RE2-safe) patterns in DuckDB."""
+    from entity_linking_spark.functions.quality import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach u"), F.col("doc_id").cast("string"),
+                     F.lit("@ex.org or +1 555 000 1234")),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" server 10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit(".7 up")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"), planted.alias("t")
+    ).select(
+        "id", *pii_counts("t"), redact_pii("t").alias("redacted")
+    )
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -951,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1203,6 +1232,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                    coalesce(h.n_hits, 0) >= 1 AS contaminated
             FROM toks t LEFT JOIN hits h ON h.id = t.id
+        """,
+        "pii_redact": """
+            -- identical planted construction and patterns as
+            -- q_pii_redact; counts on the ORIGINAL text, redaction
+            -- chained email -> ipv4 -> phone (dict order)
+            WITH p AS (
+                SELECT doc_id AS id,
+                       text || CASE
+                           WHEN doc_id % 3 = 0 THEN ' reach u' || doc_id || '@ex.org or +1 555 000 1234'
+                           WHEN doc_id % 3 = 1 THEN ' server 10.0.' || (doc_id % 256) || '.7 up'
+                           ELSE '' END AS t
+                FROM documents
+            )
+            SELECT id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\\+\\d[\\d -]{6,14}\\d')) AS INTEGER) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'),
+                       '\\+\\d[\\d -]{6,14}\\d', '<phone>', 'g') AS redacted
+            FROM p
         """,
         "minhash_dedup": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b,

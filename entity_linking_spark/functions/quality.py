@@ -203,3 +203,35 @@ def repetition_stats_table(
         )
     )
     return short.unionByName(long_out)
+
+
+# PII scrubbing (C4/RefinedWeb-style hygiene).  Patterns are kept to the
+# regex subset shared by Java regex and RE2 (no lookaround, no
+# backreferences) so the DuckDB oracle can replicate them verbatim.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d -]{6,14}\d",
+}
+
+
+def pii_counts(col: Column | str, patterns: dict[str, str] | None = None) -> list[Column]:
+    """One count column per PII kind (``n_<kind>``), computed on the
+    ORIGINAL text — pure JVM regexp_count expressions, scan-stage."""
+    pats = patterns or PII_PATTERNS
+    c = _c(col)
+    return [F.regexp_count(c, F.lit(p)).alias(f"n_{k}") for k, p in pats.items()]
+
+
+def redact_pii(col: Column | str, patterns: dict[str, str] | None = None,
+               token: str = "<{kind}>") -> Column:
+    """Replace every PII match with a typed placeholder (``<email>``,
+    ``<ipv4>``, ``<phone>``), applied in dict order — a single chained
+    regexp_replace projection, no Python in the path.  Counts should be
+    taken from ``pii_counts`` on the original column (redaction rewrites
+    overlapping spans in order, so counting after would undercount)."""
+    pats = patterns or PII_PATTERNS
+    c = _c(col)
+    for kind, pat in pats.items():
+        c = F.regexp_replace(c, pat, token.format(kind=kind))
+    return c

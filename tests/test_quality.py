@@ -171,3 +171,24 @@ def test_repetition_stats_table_adaptive_long_doc(spark):
     row = repetition_stats_table(big, "doc_id", "text").collect()[0]
     assert time.time() - t0 < 60
     assert abs(row["top_word_frac"] - 0.05) < 1e-9
+
+
+def test_pii_redaction_counts_and_placeholders(spark):
+    from entity_linking_spark.functions.quality import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@sub.ex.org, ip 10.0.0.1, call +44 20 7946 0958"),
+        (2, "no pii here at all"),
+        (3, "two ips 192.168.1.1 8.8.8.8 and one mail z@z.de"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r for r in df.select(
+        "id", *pii_counts("t"), redact_pii("t").alias("red")).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"]) == (1, 2)
+    assert out[3]["red"] == "two ips <ipv4> <ipv4> and one mail <email>"
+    assert "<email>" in out[1]["red"] and "<ipv4>" in out[1]["red"]
+    assert "<phone>" in out[1]["red"]
+    assert "@" not in out[1]["red"]

@@ -366,6 +366,35 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py:canonical_url — the first
+    dedup key of web-crawl pipelines): six planted URL shapes per doc_id
+    cover case-folding, default-port stripping, fragment/tracking-param
+    removal, param sorting, trailing-slash and non-default-port
+    retention; the oracle replays the same expression tree in DuckDB."""
+    from entity_linking_spark.functions.url import canonical_url, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("HTTP://Example.COM:80/a"), ds,
+            F.lit("/?utm_source=x&q=1#frag")))
+        .when(d % 6 == 1, F.concat(
+            F.lit("https://Sub.Ex.org:443/p"), ds, F.lit("/")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://ex.org/p?b=2&a="), ds, F.lit("&fbclid=zzz")))
+        .when(d % 6 == 3, F.concat(F.lit("http://ex.org/q"), ds))
+        .when(d % 6 == 4, F.lit("https://ex.org/"))
+        .otherwise(F.concat(F.lit("http://ex.org:8080/z?ref=abc&x="), ds))
+    )
+    canon = canonical_url(url)
+    return docs.select(
+        d.alias("id"), canon.alias("canon"), url_host(canon).alias("host")
+    )
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -980,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "url_canonical": q_url_canonical,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1254,6 +1284,47 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'),
                        '\\+\\d[\\d -]{6,14}\\d', '<phone>', 'g') AS redacted
             FROM p
+        """,
+        "url_canonical": """
+            -- same planted construction and regex pipeline as
+            -- q_url_canonical (patterns are Java-and-RE2-safe)
+            WITH p AS (
+                SELECT doc_id AS id,
+                       CASE doc_id % 6
+                           WHEN 0 THEN 'HTTP://Example.COM:80/a' || doc_id || '/?utm_source=x&q=1#frag'
+                           WHEN 1 THEN 'https://Sub.Ex.org:443/p' || doc_id || '/'
+                           WHEN 2 THEN 'https://ex.org/p?b=2&a=' || doc_id || '&fbclid=zzz'
+                           WHEN 3 THEN 'http://ex.org/q' || doc_id
+                           WHEN 4 THEN 'https://ex.org/'
+                           ELSE 'http://ex.org:8080/z?ref=abc&x=' || doc_id
+                       END AS u
+                FROM documents
+            ),
+            s AS (SELECT id, regexp_replace(u, '#.*$', '') AS u FROM p),
+            parts AS (
+                SELECT id,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                       regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+                       regexp_extract(u, '\\?([^#]*)', 1) AS query
+                FROM s
+            ),
+            canon AS (
+                SELECT id, scheme, path,
+                       CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                            WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                            ELSE hostport END AS host,
+                       list_sort(list_filter(string_split(query, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|ref)(=|$)'))) AS kept
+                FROM parts
+            )
+            SELECT id,
+                   scheme || '://' || host || path ||
+                       CASE WHEN len(kept) > 0
+                            THEN '?' || array_to_string(kept, '&')
+                            ELSE '' END AS canon,
+                   host
+            FROM canon
         """,
         "minhash_dedup": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b,

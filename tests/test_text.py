@@ -105,3 +105,34 @@ def test_pad_or_truncate(spark):
         3: [0, 0, 0, 0],
         4: [1, 2, 3, 4],
     }
+
+
+def test_canonical_url_shapes(spark):
+    """Case-fold, default-port strip, fragment/tracking removal, param
+    sort, trailing-slash strip, non-default port retained."""
+    from entity_linking_spark.functions.url import canonical_url, url_host
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?utm_source=x&q=1#frag",
+         "http://example.com/a?q=1", "example.com"),
+        ("https://Sub.Ex.org:443/path/", "https://sub.ex.org/path",
+         "sub.ex.org"),
+        ("https://ex.org/p?b=2&a=1&fbclid=zzz", "https://ex.org/p?a=1&b=2",
+         "ex.org"),
+        ("https://ex.org/", "https://ex.org", "ex.org"),
+        ("http://ex.org:8080/z?ref=abc&x=9", "http://ex.org:8080/z?x=9",
+         "ex.org:8080"),
+        # :80 stripped only for http, :443 only for https
+        ("https://ex.org:80/p", "https://ex.org:80/p", "ex.org:80"),
+        # utm params without '=' are tracking params too
+        ("http://ex.org/p?utm_campaign&keep=1", "http://ex.org/p?keep=1",
+         "ex.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "u string")
+    got = df.select(
+        canonical_url("u").alias("c"),
+        url_host(canonical_url("u")).alias("h"),
+    ).collect()
+    for (u, want_c, want_h), r in zip(cases, got):
+        assert r["c"] == want_c, (u, r["c"])
+        assert r["h"] == want_h, (u, r["h"])

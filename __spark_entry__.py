@@ -395,6 +395,18 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (operators/transform.py:hash_split):
+    80/10/10 by md5 hex-prefix bucket — the oracle applies the identical
+    thresholds ('cccc' = 0.8·16^4, 'e666' = 0.9·16^4) to the same md5."""
+    from entity_linking_spark.operators.transform import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select(
+        F.col("doc_id").alias("id"), "split"
+    )
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1010,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
+        "hash_split": q_hash_split,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1284,6 +1297,13 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'),
                        '\\+\\d[\\d -]{6,14}\\d', '<phone>', 'g') AS redacted
             FROM p
+        """,
+        "hash_split": """
+            SELECT doc_id AS id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "url_canonical": """
             -- same planted construction and regex pipeline as

@@ -115,3 +115,42 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    width: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    reproducible replacement for ``randomSplit`` (whose assignment shifts
+    with partitioning): every row lands in the same split on every run,
+    engine, and repartitioning, because the bucket is a pure function of
+    the id.
+
+    The first ``width`` hex chars of md5(salt || id) partition an
+    equal-probability 16^width space; cumulative-fraction thresholds are
+    precomputed driver-side as fixed-width hex strings, so the
+    assignment is ONE lexicographic CASE expression per row — scan
+    stage, no shuffle, and portable to any SQL engine verbatim (same
+    trick as ``stratified_sample``'s md5 ordering).  Change ``salt`` to
+    draw a fresh independent assignment."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    space = 16 ** width
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, width
+    )
+    names = list(fractions)
+    cum, expr = 0.0, None
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = format(int(cum * space), f"0{width}x")
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

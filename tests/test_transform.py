@@ -103,3 +103,33 @@ def test_stratified_sample_exact_and_deterministic(spark):
     # a small stratum (< n) is returned whole
     tiny = stratified_sample(df.where("lang = 'fr'"), ["lang"], 100, "doc_id")
     assert tiny.count() == sum(1 for _, lang, _ in rows if lang == "fr")
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from entity_linking_spark.operators.transform import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    # identical assignment on a different partitioning
+    b = {r["id"]: r["split"]
+         for r in hash_split(df.repartition(13), "id").collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # a different salt draws an independent assignment
+    s = {r["id"]: r["split"]
+         for r in hash_split(df, "id", salt="v2").collect()}
+    assert s != a
+
+
+def test_hash_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from entity_linking_spark.operators.transform import hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", fractions={"a": 0.5, "b": 0.2})

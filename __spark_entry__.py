@@ -407,6 +407,19 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (operators/dedup.py:repeated_spans,
+    Lee-et-al.-style substring dedup): every 20-token window occurring
+    ≥ 2 times corpus-wide.  keep_text mode so the oracle can replay the
+    identical window construction on the span strings."""
+    from entity_linking_spark.operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return repeated_spans(docs, k=20, min_count=2, keep_text=True)
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "hash_split": q_hash_split,
+        "repeated_spans": q_repeated_spans,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1297,6 +1311,24 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'),
                        '\\+\\d[\\d -]{6,14}\\d', '<phone>', 'g') AS redacted
             FROM p
+        """,
+        "repeated_spans": """
+            -- identical normalize/split/20-token sliding-window pipeline;
+            -- docs shorter than 20 tokens contribute no windows
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ), t -> t <> '') AS toks
+                FROM documents
+            ),
+            spans AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(toks) - 19),
+                           i -> array_to_string(toks[i:i+19], ' '))) AS span
+                FROM toks WHERE len(toks) >= 20
+            )
+            SELECT span, count(*) AS n_occurrences
+            FROM spans GROUP BY span HAVING count(*) >= 2
         """,
         "hash_split": """
             SELECT doc_id AS id,

@@ -929,3 +929,54 @@ def decontaminate(
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .withColumn("contaminated", F.col("n_hits") >= F.lit(min_hits))
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    *,
+    k: int = 50,
+    min_count: int = 2,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Exact repeated k-token span detection — the token-granular
+    substring-dedup family ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022): every k-token window that occurs
+    at least ``min_count`` times anywhere in the corpus, regardless of
+    line or document boundaries (the level ``line_dedup_pairs`` misses
+    when boilerplate is reflowed).
+
+    Spark-native shape instead of a suffix array: one scan builds each
+    doc's sliding k-token windows with a SQL ``transform(sequence(...),
+    slice(...))`` projection (codegen, no Python), explodes them, folds
+    each span to an xxhash64 bigint, and partial-agg counts per hash —
+    the shuffle carries 8-byte keys at O(total tokens), the op's
+    inherent cost (a distributed suffix array shuffles the corpus too).
+    No broadcast anywhere: the repeated-span set is corpus-proportional
+    in the worst case (rule-11 discipline).
+
+    ``keep_text=True`` groups by the span STRING instead (shuffles
+    strings — debugging/oracle scale only, documented cost).  Returns
+    (span|span_hash, n_occurrences) for spans with n ≥ min_count."""
+    w = words(normalize_text(F.col(text_col)))
+    base = _parallelize_scan(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col))
+    ).select(w.alias("__w"))
+    # Spark's sequence(1, n) runs DESCENDING when n < 1 — guard short docs
+    # to an empty window list instead
+    span_expr = (
+        f"CASE WHEN size(__w) >= {k} THEN "
+        f"transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> array_join(slice(__w, i, {k}), ' ')) "
+        "ELSE array() END"
+    )
+    spans = base.select(F.explode(F.expr(span_expr)).alias("span"))
+    key = F.col("span") if keep_text else F.xxhash64("span").alias("span_hash")
+    key_name = "span" if keep_text else "span_hash"
+    return (
+        spans.select(key)
+        .groupBy(key_name)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )

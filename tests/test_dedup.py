@@ -551,3 +551,28 @@ def test_decontaminate_min_hits_threshold(spark):
     # doc 1 shares only "alpha beta gamma"; doc 2 also "beta gamma delta"
     assert out[1]["n_hits"] == 1 and not out[1]["contaminated"]
     assert out[2]["n_hits"] == 2 and out[2]["contaminated"]
+
+
+def test_repeated_spans_cross_line_and_hash_parity(spark):
+    """A passage reflowed across different line boundaries is still
+    caught (the case line-level dedup misses); docs shorter than k
+    contribute no windows; hash mode agrees with text mode."""
+    from entity_linking_spark.operators.dedup import repeated_spans
+
+    passage = " ".join(f"w{i}" for i in range(6))  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + passage + " tail one"),
+            (2, "other lead-in\n" + passage.replace("w2 w3", "w2\nw3")
+             + " different end"),
+            (3, "too short"),
+        ],
+        "id long, text string",
+    )
+    out = repeated_spans(docs, k=6, min_count=2, keep_text=True).collect()
+    spans = {r["span"]: r["n_occurrences"] for r in out}
+    assert spans == {passage: 2}
+    hashed = repeated_spans(docs, k=6, min_count=2).collect()
+    assert len(hashed) == 1 and hashed[0]["n_occurrences"] == 2
+    # min_count above the multiplicity -> empty
+    assert repeated_spans(docs, k=6, min_count=3).count() == 0

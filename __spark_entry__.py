@@ -420,6 +420,17 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, k=20, min_count=2, keep_text=True)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality scores
+    (operators/tfidf.py:unigram_logprob_scores — the CCNet/KenLM
+    perplexity-filter stand-in); the oracle replays frequencies, the
+    corpus total, and ln(c/t) averaging in SQL."""
+    from entity_linking_spark.operators.tfidf import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1037,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "hash_split": q_hash_split,
         "repeated_spans": q_repeated_spans,
+        "unigram_logprob": q_unigram_logprob,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1311,6 +1323,21 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'),
                        '\\+\\d[\\d -]{6,14}\\d', '<phone>', 'g') AS redacted
             FROM p
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ), t -> t <> '')) AS tok
+                FROM documents
+            ),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) AS t FROM freq)
+            SELECT id, count(*) AS n_tokens,
+                   round(avg(ln(c / t)), 4) AS avg_logprob
+            FROM toks JOIN freq USING (tok), tot
+            GROUP BY id
         """,
         "repeated_spans": """
             -- identical normalize/split/20-token sliding-window pipeline;

@@ -65,3 +65,46 @@ def tfidf_top_terms(
         k,
         tiebreak_cols=["term"],
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram distribution — the sandbox stand-in for a
+    CCNet/KenLM perplexity quality filter (language-model scoring is the
+    canonical web-corpus quality signal; a self-trained unigram model
+    keeps it dependency-free and exactly SQL-replicable).  Low scores =
+    rare-token-heavy documents (gibberish, boilerplate codes, OCR
+    noise); high scores = common-word text.
+
+    Scale shape, same discipline as the tf-idf join above: one token
+    explode feeding two hash aggregations (term frequencies with
+    map-side partials; the corpus total is a one-row aggregate whose
+    broadcast is trivially bounded), then a token⋈freq shuffle join —
+    NO broadcast hint on the freq side, which is Heaps'-law unbounded
+    at web scale; the planner/AQE may still broadcast from measured
+    sizes.  Documents with zero tokens are absent from the result (no
+    distribution to score them under).
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to 4
+    decimals so summation order never splits an engine-parity check."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -35,3 +35,26 @@ def test_tfidf_tie_breaks_lexicographically(spark):
     ranked = sorted((r["rank"], r["term"]) for r in out)
     # identical tf/df → identical tfidf → lexicographic term order
     assert ranked == [(1, "abc"), (2, "zed")]
+
+
+def test_unigram_logprob_closed_form(spark):
+    """Hand-computable corpus: 4 'a', 2 'b', 2 'c' tokens (total 8).
+    Scores are mean ln(c/8) per doc; empty docs are absent."""
+    import math
+
+    from entity_linking_spark.operators.tfidf import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a c"), (4, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in
+           unigram_logprob_scores(docs, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    la, lb = math.log(4 / 8), math.log(2 / 8)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round((2 * la + lb) / 3, 4)
+    assert out[2]["avg_logprob"] == round((la + 2 * lb) / 3, 4)
+    assert out[3]["avg_logprob"] == round((la + lb) / 2, 4)
+    # common-word docs score higher than rare-word docs
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]

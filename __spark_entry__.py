@@ -431,6 +431,35 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs, "doc_id", "text")
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-cleaning composition (plans/corpus_clean.py:
+    clean_corpus — URL dedup → exact → MinHash near-dup → boilerplate
+    strip → decontaminate → quality/PII): returns the per-stage
+    attrition report as rows.  MinHash banding makes the composition
+    non-SQL-expressible, so this is a rows-only driver check; each
+    constituent operator has its own exact oracle elsewhere."""
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.plans.corpus_clean import (
+        CleanConfig, clean_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("http://ex.org/p"),
+                 (F.col("doc_id") % 400).cast("string"),
+                 F.lit("?utm_source=x")).alias("url"),
+        "text",
+    )
+    bench = docs.select("id", "text").where(F.col("id") % 50 == 0)
+    with cache_scope():
+        _, report = clean_corpus(
+            docs, bench,
+            CleanConfig(min_tokens=5, line_min_docs=5),
+        )
+    rows = [(i, stage, int(n)) for i, (stage, n) in enumerate(report.items())]
+    return spark.createDataFrame(rows, "stage_idx int, stage string, rows long")
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1049,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "repeated_spans": q_repeated_spans,
         "unigram_logprob": q_unigram_logprob,
+        "corpus_clean": q_corpus_clean,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,

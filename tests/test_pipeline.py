@@ -158,3 +158,57 @@ def test_blocking_stages_reused_across_kill_rerun(spark, fixture_dfs, result):
         assert res2["catalog"].snapshot_id(s) == snap, f"{s} was recomputed"
     a2 = {(r["mention_id"], r["cluster_id"]) for r in res2["assignment"].collect()}
     assert a1 == a2
+
+
+def test_clean_corpus_end_to_end(spark):
+    """Every cleaning stage fires on a planted defect and the attrition
+    report accounts for each drop."""
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.plans.corpus_clean import CleanConfig, clean_corpus
+
+    boiler = "accept our cookie banner to continue browsing today"
+
+    def body(i):
+        # per-doc disjoint vocabulary so only the PLANTED pair near-dups
+        return " ".join(f"d{i}t{j} d{i}w{j} d{i}x{j}" for j in range(8))
+
+    bench_text = "benchmark answer alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # 1+2: same canonical URL (tracking params differ) + same text
+        (1, "http://ex.org/a?utm_source=x", body(1) + " unique one"),
+        (2, "http://ex.org/a", body(1) + " unique one"),
+        # 3: exact dup of 4's text at a different URL
+        (3, "http://ex.org/c", body(3) + " unique three"),
+        (4, "http://ex.org/d", body(3) + " unique three"),
+        # 5/6: near-dups (one token differs)
+        (5, "http://ex.org/e", body(5) + " near aa bb cc dd"),
+        (6, "http://ex.org/f", body(5) + " near aa bb cc ee"),
+        # 7-12: docs carrying the boilerplate line (>= min_docs of them)
+        *[(i, f"http://ex.org/p{i}",
+           boiler + "\n" + body(i) + f" page {i} specific words here")
+          for i in range(7, 13)],
+        # 13: contaminated with the benchmark 8-gram
+        (13, "http://ex.org/m", body(13) + " quote " + bench_text),
+        # 14: too short after everything
+        (14, "http://ex.org/s", "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, url string, text string")
+    bench = spark.createDataFrame([(0, bench_text)], "id long, text string")
+    with cache_scope():
+        out, report = clean_corpus(
+            docs, bench,
+            CleanConfig(line_min_docs=5, near_dup_threshold=0.8,
+                        min_tokens=5),
+        )
+        got = {r["id"]: r["text"] for r in out.collect()}
+    assert report["rows_in"] == 14
+    assert report["url_dedup"] == 13          # 2 folded into 1
+    assert report["exact_dedup"] == 12        # 4 folded into 3
+    assert report["near_dedup"] == 11         # 6 folded into 5
+    assert report["boilerplate_strip"] == 11  # lines stripped, docs kept
+    assert report["decontaminate"] == 10      # 13 dropped
+    assert report["rows_out"] == 9            # 14 too short
+    assert set(got) == {1, 3, 5, 7, 8, 9, 10, 11, 12}
+    for i in range(7, 13):
+        assert boiler not in got[i]
+        assert f"page {i} specific" in got[i]

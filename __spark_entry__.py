@@ -6,7 +6,10 @@ parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
 Float-producing queries round to 4 decimals on both sides so the
 value-hash compare is stable across engines.
 
-EVERY query has an oracle.  The xxhash64/seeded paths (MinHash, SimHash,
+EVERY query has an oracle except ``corpus_clean`` (the multi-stage
+composition whose MinHash stage is not SQL-expressible — it takes the
+driver's rows-only check; each constituent operator keeps its own exact
+oracle).  The xxhash64/seeded paths (MinHash, SimHash,
 sign-LSH) that DuckDB cannot replay are oracled via planted-duplicate
 constructions: identical inputs agree on every band/bucket regardless of
 the hash family, so a corpus where ONLY planted duplicates can pass the

@@ -463,6 +463,20 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage_idx int, stage string, rows long")
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al. span REMOVAL (operators/dedup.py:remove_repeated_spans):
+    keep each repeated 20-token span's first (id, pos) occurrence and
+    strip the tokens of later ones; the oracle replays the window-rank +
+    index-mask pipeline with DuckDB list lambdas (span-string partitions
+    stand in for the xxhash64 fold — identical sans 2^-64 collisions)."""
+    from entity_linking_spark.operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return remove_repeated_spans(docs, k=20)
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1082,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "unigram_logprob": q_unigram_logprob,
         "corpus_clean": q_corpus_clean,
+        "span_removal": q_span_removal,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1371,6 +1386,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / t)), 4) AS avg_logprob
             FROM toks JOIN freq USING (tok), tot
             GROUP BY id
+        """,
+        "span_removal": """
+            -- window-rank first-occurrence protection + index-mask strip,
+            -- identical to remove_repeated_spans (k=20); parallel unnest
+            -- zips positions with spans
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       coalesce(list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ), t -> t <> ''), []) AS toks
+                FROM documents
+            ),
+            spans AS (
+                SELECT id,
+                       unnest(generate_series(1, len(toks) - 19)) - 1 AS pos,
+                       unnest(list_transform(generate_series(1, len(toks) - 19),
+                           i -> array_to_string(toks[i:i+19], ' '))) AS span
+                FROM toks WHERE len(toks) >= 20
+            ),
+            flagged AS (
+                SELECT id, pos FROM (
+                    SELECT id, pos,
+                           row_number() OVER (PARTITION BY span ORDER BY id, pos) AS rn
+                    FROM spans
+                ) WHERE rn > 1
+            ),
+            rm AS (SELECT id, list_sort(list(pos)) AS rm FROM flagged GROUP BY id),
+            masked AS (
+                SELECT t.id, t.toks,
+                       CASE WHEN r.rm IS NULL THEN t.toks
+                            ELSE list_transform(
+                                list_filter(generate_series(0, len(t.toks) - 1),
+                                    j -> len(list_filter(r.rm,
+                                        p -> p <= j AND j < p + 20)) = 0),
+                                j -> t.toks[j + 1]) END AS kept
+                FROM toks t LEFT JOIN rm r ON r.id = t.id
+            )
+            -- array_to_string([]) is NULL in DuckDB but array_join([]) is
+            -- '' in Spark (a fully-repeated doc strips to nothing)
+            SELECT id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   CAST(len(toks) - len(kept) AS INTEGER) AS n_tokens_removed
+            FROM masked
         """,
         "repeated_spans": """
             -- identical normalize/split/20-token sliding-window pipeline;

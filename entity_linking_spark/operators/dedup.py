@@ -980,3 +980,68 @@ def repeated_spans(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    *,
+    k: int = 50,
+) -> DataFrame:
+    """The removal half of Lee-et-al. substring dedup (``repeated_spans``
+    is the detection half): for every k-token span occurring more than
+    once corpus-wide, KEEP the first occurrence in (id, position) order
+    and strip the tokens of every later occurrence.  Returns
+    (id, clean_text, n_tokens_removed) with clean_text rebuilt from the
+    normalized surviving tokens (single-space joined) for every doc, so
+    output text is consistent whether or not anything was removed.
+
+    Scale shape: the span stream is (id, pos, xxhash64) rows — one
+    O(total tokens) exchange on the 8-byte span hash for the
+    first-occurrence window, then a per-doc removal-position list
+    (bounded by the doc's own token count) joins back on id and drives
+    an index-filter over the token array, all JVM HOFs.  No broadcast:
+    every intermediate is corpus-proportional.  Overlapping flagged
+    spans union their token masks; a token inside both a protected
+    first occurrence and a later flagged occurrence is removed (greedy
+    masking, same as the reference algorithm's span cuts)."""
+    from pyspark.sql import Window
+
+    w_toks = F.coalesce(
+        words(normalize_text(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
+    base = _parallelize_scan(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col))
+    ).select("__id", w_toks.alias("__toks"))
+    span_expr = (
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> xxhash64(array_join(slice(__toks, i, {k}), ' '))) "
+        "ELSE array() END"
+    )
+    spans = base.select(
+        "__id", F.posexplode(F.expr(span_expr)).alias("__pos", "__h")
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    flagged = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__rm"))
+    )
+    joined = base.join(flagged, "__id", "left")
+    kept = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            "__toks",
+            lambda _, j: ~F.exists(
+                F.col("__rm"), lambda p: (p <= j) & (j < p + F.lit(k))
+            ),
+        )
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).alias("n_tokens_removed"),
+    )

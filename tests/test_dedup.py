@@ -576,3 +576,43 @@ def test_repeated_spans_cross_line_and_hash_parity(spark):
     assert len(hashed) == 1 and hashed[0]["n_occurrences"] == 2
     # min_count above the multiplicity -> empty
     assert repeated_spans(docs, k=6, min_count=3).count() == 0
+
+
+def test_remove_repeated_spans_first_occurrence_kept(spark):
+    """The (id, pos)-first occurrence of a repeated span survives; later
+    occurrences lose exactly the covered tokens; untouched and empty
+    docs pass through with zero removals."""
+    from entity_linking_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u unique one tail"),
+            (2, "lead in p q r s t u different end"),
+            (3, "totally fresh words only here"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in remove_repeated_spans(docs, k=6).collect()}
+    assert out[1]["clean_text"] == "p q r s t u unique one tail"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["clean_text"] == "lead in different end"
+    assert out[2]["n_tokens_removed"] == 6
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens_removed"] == 0
+
+
+def test_remove_repeated_spans_within_doc(spark):
+    """A span repeated INSIDE one document keeps only its first copy;
+    overlapping flagged windows union their masks (no double count)."""
+    from entity_linking_spark.operators.dedup import remove_repeated_spans
+
+    span = "a b c d"
+    docs = spark.createDataFrame(
+        [(1, span + " mid " + span + " " + span + " end")],
+        "id long, text string",
+    )
+    out = remove_repeated_spans(docs, k=4).collect()[0]
+    assert out["clean_text"].startswith(span + " mid")
+    assert out["n_tokens_removed"] == 8
+    assert out["clean_text"] == span + " mid end"

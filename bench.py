@@ -409,6 +409,16 @@ def run_headline(cores: int) -> dict:
         ).select(F.col("doc_id").alias("id"), "text")
         return repeated_spans(docs, k=50)
 
+    def bench_span_removal(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from entity_linking_spark.operators.dedup import remove_repeated_spans
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("id"), "text")
+        return remove_repeated_spans(docs, k=50)
+
     def bench_pii(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -425,6 +435,7 @@ def run_headline(cores: int) -> dict:
     hygiene = {}
     for name, fn in [("decontaminate", bench_decontaminate),
                      ("repeated_spans", bench_repeated_spans),
+                     ("span_removal", bench_span_removal),
                      ("pii_redact", bench_pii)]:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         release_cached()

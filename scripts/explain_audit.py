@@ -148,6 +148,22 @@ CHECKS = {
         ("per-doc hit count aggregates map-side partial first",
          r"partial_count"),
     ],
+    # the repeated_spans DRIVER query runs keep_text=True so its DuckDB
+    # oracle can see span strings; the scale mode's xxhash64 fold shows
+    # in span_removal's plan below (same span stream, hashed)
+    "repeated_spans": [
+        ("map-side partial count on the span shuffle", r"partial_count"),
+        ("no broadcast hint anywhere (every set is corpus-proportional)",
+         _no_forced_broadcast),
+    ],
+    "span_removal": [
+        ("span keys folded to xxhash64 bigints before the window exchange",
+         r"xxhash64"),
+        ("first-occurrence protection is a window rank, not a self-join",
+         r"RunningWindowFunction|Window"),
+        ("no broadcast hint anywhere (every set is corpus-proportional)",
+         _no_forced_broadcast),
+    ],
     "minhash_dedup": [
         ("signatures computed in scan projection (no pre-shuffle)", r"Project"),
         ("INVERTED bucket guard: over-cap set broadcast + anti-join, "

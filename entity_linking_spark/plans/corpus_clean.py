@@ -17,7 +17,12 @@ pipeline a 100 TB webtext pretraining run actually executes:
 Every stage reports attrition (rows in → rows out) in a `report`
 dict, because at web scale "the cleaning ran" is meaningless without
 per-stage accounting — a stage that silently drops 60% of the corpus
-is a bug report, not a cleaning step.
+is a bug report, not a cleaning step.  Each count is one Spark action,
+and the two-parallelism probe (scripts/clean_scaling.py) measured
+those seven serial job latencies as the sandbox-scale wall — so
+``CleanConfig(report_mode="silent")`` keeps the stage persists (reuse)
+but skips the counts, collapsing the whole composition into the
+caller's single materializing action.
 
 Stage order is cost-ordered on purpose: O(row) key dedups run before
 the shuffle-heavy near-dup family, which runs before the per-line
@@ -53,12 +58,21 @@ class CleanConfig:
     min_tokens: int = 10
     max_tokens: int = 100_000
     redact_pii: bool = True
+    # "eager": persist + count every stage (the attrition report; each
+    # count is one Spark action, so seven serial job latencies — measured
+    # flat across 8→32 cores at sandbox scale, scripts/clean_scaling.py).
+    # "silent": persist stages for reuse (minhash + join-back both read
+    # `cur`) but skip the counts — ONE action total when the caller
+    # materializes the result; report stays empty.  Production shape for
+    # latency-sensitive runs; audits re-run eager on a sample.
+    report_mode: str = "eager"
     extra: dict = field(default_factory=dict)
 
 
-def _counted(df: DataFrame, name: str, report: dict) -> DataFrame:
+def _counted(df: DataFrame, name: str, report: dict, eager: bool) -> DataFrame:
     cached = track(df)
-    report[name] = cached.count()
+    if eager:
+        report[name] = cached.count()
     return cached
 
 
@@ -70,7 +84,8 @@ def clean_corpus(
     """Run the full cleaning composition; returns (clean_docs, report).
 
     ``report`` maps stage name → surviving row count, in execution
-    order, ``rows_in`` first.  A document whose every line is
+    order, ``rows_in`` first (empty in ``report_mode="silent"``).  A
+    document whose every line is
     corpus-frequent boilerplate is dropped at the boilerplate stage
     (nothing of it remains)."""
     from entity_linking_spark.functions.quality import (
@@ -88,9 +103,12 @@ def clean_corpus(
     )
 
     cfg = config or CleanConfig()
+    if cfg.report_mode not in ("eager", "silent"):
+        raise ValueError(f"unknown report_mode {cfg.report_mode!r}")
+    eager = cfg.report_mode == "eager"
     idc, txt = cfg.id_col, cfg.text_col
     report: dict[str, int] = {}
-    cur = _counted(docs, "rows_in", report)
+    cur = _counted(docs, "rows_in", report, eager)
 
     # 1. URL dedup — one canonical key per page, keep min id (stable)
     if cfg.url_col is not None and cfg.url_col in cur.columns:
@@ -99,11 +117,12 @@ def clean_corpus(
             .groupBy("__cu").agg(F.min(idc).alias(idc))
             .drop("__cu")
         )
-        cur = _counted(cur.join(keep, idc, "left_semi"), "url_dedup", report)
+        cur = _counted(cur.join(keep, idc, "left_semi"), "url_dedup", report, eager)
 
     # 2. exact text dedup — md5 window, keep min-id row per text
     cur = _counted(
-        exact_dedup(cur, idc, txt).drop("dup_count"), "exact_dedup", report
+        exact_dedup(cur, idc, txt).drop("dup_count"), "exact_dedup", report,
+        eager,
     )
 
     # 3. MinHash near-dup — pairs → CC → keep component representative
@@ -115,7 +134,8 @@ def clean_corpus(
     keep_near = assign.where(F.col("id") == F.col("keep_id")).select(
         F.col("id").alias(idc)
     )
-    cur = _counted(cur.join(keep_near, idc, "left_semi"), "near_dedup", report)
+    cur = _counted(cur.join(keep_near, idc, "left_semi"), "near_dedup", report,
+                   eager)
 
     # 4. line-level boilerplate strip INSIDE surviving docs: rebuild each
     # doc without its corpus-frequent lines.  boilerplate_lines returns
@@ -140,7 +160,8 @@ def clean_corpus(
         ).alias(txt)
     )
     cur = _counted(
-        cur.drop(txt).join(rebuilt, idc, "inner"), "boilerplate_strip", report
+        cur.drop(txt).join(rebuilt, idc, "inner"), "boilerplate_strip", report,
+        eager,
     )
 
     # 5. decontamination against the held-out benchmark
@@ -151,7 +172,7 @@ def clean_corpus(
         )
         cur = _counted(
             flagged.where(~F.col("contaminated")).drop("n_hits", "contaminated"),
-            "decontaminate", report,
+            "decontaminate", report, eager,
         )
 
     # 6. quality gate + PII redaction (redact, don't drop)
@@ -159,5 +180,5 @@ def clean_corpus(
     cur = cur.where((n_tok >= cfg.min_tokens) & (n_tok <= cfg.max_tokens))
     if cfg.redact_pii:
         cur = cur.withColumn(txt, _redact(F.col(txt)))
-    out = _counted(cur, "rows_out", report)
+    out = _counted(cur, "rows_out", report, eager)
     return out, report

@@ -212,3 +212,32 @@ def test_clean_corpus_end_to_end(spark):
     for i in range(7, 13):
         assert boiler not in got[i]
         assert f"page {i} specific" in got[i]
+
+
+def test_clean_corpus_silent_mode_same_rows(spark):
+    """report_mode='silent' skips the per-stage counting actions but
+    produces the identical surviving set."""
+    import pytest as _pytest
+
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.plans.corpus_clean import CleanConfig, clean_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"http://ex.org/x{i % 4}",
+          " ".join(f"d{i % 5}w{j}" for j in range(12)))
+         for i in range(12)],
+        "id long, url string, text string",
+    )
+    with cache_scope():
+        eager_out, eager_rep = clean_corpus(
+            docs, None, CleanConfig(min_tokens=3))
+        eager_ids = {r["id"] for r in eager_out.collect()}
+    with cache_scope():
+        silent_out, silent_rep = clean_corpus(
+            docs, None, CleanConfig(min_tokens=3, report_mode="silent"))
+        silent_ids = {r["id"] for r in silent_out.collect()}
+    assert silent_rep == {}
+    assert len(eager_rep) >= 5
+    assert silent_ids == eager_ids
+    with _pytest.raises(ValueError, match="report_mode"):
+        clean_corpus(docs, None, CleanConfig(report_mode="bogus"))

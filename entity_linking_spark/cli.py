@@ -82,6 +82,27 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--text-col", default="text")
     ing.add_argument("--threshold", type=float, default=0.7)
     ing.add_argument("--shingle-k", type=int, default=3)
+
+    cln = sub.add_parser(
+        "clean",
+        help="run the full corpus-cleaning composition (url/exact/near "
+             "dedup, boilerplate strip, decontamination, quality + PII; "
+             "plans/corpus_clean.py) and write survivors + the attrition "
+             "report",
+    )
+    cln.add_argument("--docs", required=True, help="input parquet (id, text[, url])")
+    cln.add_argument("--out", required=True, help="output parquet dir")
+    cln.add_argument("--benchmark",
+                     help="held-out eval parquet (id, text) for decontamination")
+    cln.add_argument("--id-col", default="id")
+    cln.add_argument("--text-col", default="text")
+    cln.add_argument("--url-col", default="url",
+                     help="'' to skip URL dedup")
+    cln.add_argument("--threshold", type=float, default=0.8,
+                     help="near-dup MinHash Jaccard threshold")
+    cln.add_argument("--min-tokens", type=int, default=10)
+    cln.add_argument("--report-mode", choices=["eager", "silent"],
+                     default="eager")
     return p
 
 
@@ -159,6 +180,27 @@ def main(argv: list[str] | None = None) -> int:
             "kept_docs": cat.manifest_entry("kept_docs").get("rows", 0),
             "corpus_sigs": cat.manifest_entry("corpus_sigs").get("rows", 0),
         }))
+        return 0
+
+    if args.cmd == "clean":
+        from entity_linking_spark.operators._cache import cache_scope
+        from entity_linking_spark.plans.corpus_clean import (
+            CleanConfig, clean_corpus,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        cfg = CleanConfig(
+            url_col=args.url_col or None,
+            id_col=args.id_col, text_col=args.text_col,
+            near_dup_threshold=args.threshold,
+            min_tokens=args.min_tokens,
+            report_mode=args.report_mode,
+        )
+        with cache_scope():
+            out, report = clean_corpus(docs, bench, cfg)
+            out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "report": report}))
         return 0
 
     from entity_linking_spark.operators.scoring import ScoringConfig

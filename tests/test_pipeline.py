@@ -241,3 +241,27 @@ def test_clean_corpus_silent_mode_same_rows(spark):
     assert silent_ids == eager_ids
     with _pytest.raises(ValueError, match="report_mode"):
         clean_corpus(docs, None, CleanConfig(report_mode="bogus"))
+
+
+def test_cli_clean(spark, tmp_path, capsys):
+    """cli.py clean runs the composition, writes survivors, and prints
+    the attrition report."""
+    import json as _json
+
+    from entity_linking_spark.cli import main as cli_main
+
+    src, out = str(tmp_path / "docs"), str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(i, f"http://ex.org/x{i % 3}?utm_source=t",
+          " ".join(f"c{i % 4}w{j}" for j in range(12)))
+         for i in range(8)],
+        "id long, url string, text string",
+    ).write.parquet(src)
+    rc = cli_main(["clean", "--docs", src, "--out", out,
+                   "--min-tokens", "3"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out)["report"]
+    assert rep["rows_in"] == 8
+    assert rep["url_dedup"] == 3           # 3 canonical urls
+    assert rep["rows_out"] >= 1
+    assert spark.read.parquet(out).count() == rep["rows_out"]

@@ -469,6 +469,63 @@ class Catalog:
             )
         return self.spark.read.parquet(self._path(name))
 
+    _BUCKET_DB = "el_stages"
+
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Bucketed stage table — the executable form of SCALE.md's
+        co-located-join layout: two stages bucketed on the same key with
+        the same bucket count join WITHOUT an exchange on either side
+        (Spark reads each bucket pair co-located; the sortBy makes the
+        sort-merge join's sort a no-op too).  At 100 TB this removes the
+        biggest repeated cost of iterating on a pair table: re-shuffling
+        both inputs on every run of every downstream join on that key.
+
+        Implemented via the session catalog (``bucketBy`` requires
+        ``saveAsTable``); the backing database lives under the catalog
+        root, so no state escapes the workdir.  Returns the snapshot id
+        and records the same manifest accounting as ``write``."""
+        db = self._BUCKET_DB
+        wh = os.path.join(self.root, "_warehouse")
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'"
+        )
+        (
+            df.write.format("parquet").mode("overwrite")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .saveAsTable(f"{db}.{name}")
+        )
+        self.spark.catalog.refreshTable(f"{db}.{name}")
+        rows = self.spark.table(f"{db}.{name}").count()
+        snapshot_id = f"{name}-{int(time.time() * 1000)}"
+
+        def mutate(_entry):
+            return {
+                "snapshot_id": snapshot_id,
+                "rows": rows,
+                "base_rows": rows,
+                "complete": True,
+                "kind": "bucketed_table",
+                "bucket_cols": list(bucket_cols),
+                "num_buckets": num_buckets,
+            }
+
+        self._update_manifest(name, mutate)
+        return snapshot_id
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed stage table with its bucket metadata intact
+        (``spark.table``, not a raw parquet path — a path read would
+        discard the bucket spec and reintroduce the exchange)."""
+        return self.spark.table(f"{self._BUCKET_DB}.{name}")
+
     def read_metrics(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_metrics", name))
 

@@ -480,3 +480,43 @@ def test_iceberg_table_exists_honors_definitive_catalog_answer(spark, tmp_path):
         assert cat._iceberg_table_exists("missing") is False
     finally:
         cat.spark = real_spark
+
+
+def test_bucketed_stage_join_has_no_exchange(spark, tmp_path):
+    """Two stages bucketed on the same key join with ZERO exchanges and
+    no extra sort (SCALE.md's co-located layout, executable); the same
+    join on plain parquet stages shuffles both sides."""
+    cat = Catalog(spark, str(tmp_path / "wd"))
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    cat.write_bucketed("bk_a", a, ["k"], 4)
+    cat.write_bucketed("bk_b", b, ["k"], 4)
+    assert cat.manifest_entry("bk_a")["kind"] == "bucketed_table"
+    assert cat.manifest_entry("bk_a")["rows"] == 1000
+
+    old = {
+        "spark.sql.adaptive.enabled":
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cat.read_bucketed("bk_a").join(cat.read_bucketed("bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        row = joined.where("k = 7").collect()[0]
+        assert (row["va"], row["vb"]) == (14, 21)
+
+        # control: plain parquet stages shuffle both sides
+        cat.write("pq_a", a)
+        cat.write("pq_b", b)
+        control = cat.read("pq_a").join(cat.read("pq_b"), "k")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in cplan
+    finally:
+        for key, v in old.items():
+            spark.conf.set(key, v)

@@ -149,8 +149,15 @@ def hash_split(
     cum, expr = 0.0, None
     for name in names[:-1]:
         cum += fractions[name]
-        bound = format(int(cum * space), f"0{width}x")
-        cond = prefix < F.lit(bound)
+        bound_int = int(cum * space)
+        # a non-final cumulative of 1.0 (zero-fraction tail entries)
+        # would format to width+1 hex chars ('10000'), which sorts
+        # BELOW most width-char prefixes and inverts the comparison —
+        # a saturated bound means "everything lands here"
+        cond = (
+            F.lit(True) if bound_int >= space
+            else prefix < F.lit(format(bound_int, f"0{width}x"))
+        )
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)

@@ -110,12 +110,32 @@ def clean_corpus(
     report: dict[str, int] = {}
     cur = _counted(docs, "rows_in", report, eager)
 
-    # 1. URL dedup — one canonical key per page, keep min id (stable)
-    if cfg.url_col is not None and cfg.url_col in cur.columns:
+    # 1. URL dedup — one canonical key per page, keep min id (stable).
+    # ONLY parseable absolute URLs participate: canonical_url(NULL) is
+    # NULL and every unparseable/relative url canonicalizes to the same
+    # constant, so grouping them would collapse all url-less docs into
+    # one survivor each (the NULL-surface mass-drop class fixed in
+    # blocking, r5) — those rows pass through to the text stages intact.
+    if cfg.url_col is not None:
+        if cfg.url_col not in cur.columns:
+            raise ValueError(
+                f"url_col {cfg.url_col!r} not in corpus columns "
+                f"{cur.columns}; pass CleanConfig(url_col=None) to skip "
+                "URL dedup"
+            )
+        parseable = F.col(cfg.url_col).rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+        keyed = cur.select(
+            F.col(idc),
+            F.when(parseable,
+                   canonical_url(F.col(cfg.url_col))).alias("__cu"),
+        )
         keep = (
-            cur.select(F.col(idc), canonical_url(F.col(cfg.url_col)).alias("__cu"))
+            keyed.where(F.col("__cu").isNotNull())
             .groupBy("__cu").agg(F.min(idc).alias(idc))
             .drop("__cu")
+        )
+        keep = keep.unionByName(
+            keyed.where(F.col("__cu").isNull()).select(idc)
         )
         cur = _counted(cur.join(keep, idc, "left_semi"), "url_dedup", report, eager)
 

@@ -469,7 +469,19 @@ class Catalog:
             )
         return self.spark.read.parquet(self._path(name))
 
-    _BUCKET_DB = "el_stages"
+    @property
+    def _bucket_db(self) -> str:
+        """Per-root database name: CREATE DATABASE IF NOT EXISTS is a
+        no-op on an existing name, so a shared name would pin EVERY
+        catalog's bucketed tables to whichever root ran first in the
+        session (and collide stage names across catalogs).  Deriving
+        the name from the root keeps each workdir's warehouse under its
+        own root, as the docstring promises."""
+        import hashlib
+
+        return "el_stages_" + hashlib.md5(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:10]
 
     def write_bucketed(
         self,
@@ -491,19 +503,21 @@ class Catalog:
         ``saveAsTable``); the backing database lives under the catalog
         root, so no state escapes the workdir.  Returns the snapshot id
         and records the same manifest accounting as ``write``."""
-        db = self._BUCKET_DB
-        wh = os.path.join(self.root, "_warehouse")
+        db = self._bucket_db
+        wh = os.path.join(os.path.abspath(self.root), "_warehouse")
         self.spark.sql(
-            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'"
+            f"CREATE DATABASE IF NOT EXISTS `{db}` LOCATION '{wh}'"
         )
+        # backtick-quoted: stage names valid for the path-based APIs
+        # (e.g. 'pairs-v2') must work here too
         (
             df.write.format("parquet").mode("overwrite")
             .bucketBy(num_buckets, *bucket_cols)
             .sortBy(*(sort_cols or bucket_cols))
-            .saveAsTable(f"{db}.{name}")
+            .saveAsTable(f"`{db}`.`{name}`")
         )
-        self.spark.catalog.refreshTable(f"{db}.{name}")
-        rows = self.spark.table(f"{db}.{name}").count()
+        self.spark.catalog.refreshTable(f"`{db}`.`{name}`")
+        rows = self.spark.table(f"`{db}`.`{name}`").count()
         snapshot_id = f"{name}-{int(time.time() * 1000)}"
 
         def mutate(_entry):
@@ -524,7 +538,7 @@ class Catalog:
         """Read a bucketed stage table with its bucket metadata intact
         (``spark.table``, not a raw parquet path — a path read would
         discard the bucket spec and reintroduce the exchange)."""
-        return self.spark.table(f"{self._BUCKET_DB}.{name}")
+        return self.spark.table(f"`{self._bucket_db}`.`{name}`")
 
     def read_metrics(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_metrics", name))

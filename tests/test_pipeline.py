@@ -265,3 +265,32 @@ def test_cli_clean(spark, tmp_path, capsys):
     assert rep["url_dedup"] == 3           # 3 canonical urls
     assert rep["rows_out"] >= 1
     assert spark.read.parquet(out).count() == rep["rows_out"]
+
+
+def test_clean_corpus_url_edge_cases(spark):
+    """NULL and unparseable urls never collapse into one survivor, and a
+    missing url column raises instead of silently skipping the stage."""
+    import pytest as _pytest
+
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.plans.corpus_clean import CleanConfig, clean_corpus
+
+    docs = spark.createDataFrame(
+        [(1, None, " ".join(f"a{j}" for j in range(8))),
+         (2, None, " ".join(f"b{j}" for j in range(8))),
+         (3, "not a url", " ".join(f"c{j}" for j in range(8))),
+         (4, "/relative/path", " ".join(f"d{j}" for j in range(8))),
+         (5, "http://ex.org/p?utm_source=x", " ".join(f"e{j}" for j in range(8))),
+         (6, "http://ex.org/p", " ".join(f"f{j}" for j in range(8)))],
+        "id long, url string, text string",
+    )
+    with cache_scope():
+        out, report = clean_corpus(
+            docs, None, CleanConfig(min_tokens=3, near_dup_threshold=0.99))
+        ids = {r["id"] for r in out.collect()}
+    # only the genuine canonical-url pair (5, 6) deduped
+    assert report["url_dedup"] == 5
+    assert ids == {1, 2, 3, 4, 5}
+    with _pytest.raises(ValueError, match="url_col"):
+        clean_corpus(docs.drop("url"), None, CleanConfig(min_tokens=3))
+

@@ -133,3 +133,14 @@ def test_hash_split_validates_fractions(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", fractions={"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_saturated_fraction(spark):
+    """A zero-fraction tail entry (cumulative hits 1.0 early) must not
+    invert the boundary comparison."""
+    from entity_linking_spark.operators.transform import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    got = {r["split"] for r in hash_split(
+        df, "id", fractions={"all": 1.0, "none": 0.0}).collect()}
+    assert got == {"all"}

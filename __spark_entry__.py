@@ -477,6 +477,48 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(docs, k=20)
 
 
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest (sources/warc.py — the Common Crawl container format,
+    stdlib-parsed): each doc_id < 50 becomes a one-response-record WARC
+    archive whose payload is the doc's own text (odd ids use the
+    standard per-record-gzip layout, even ids plain), parsed back
+    through the Arrow expansion; every output field is SQL-expressible
+    from the documents table (payload integrity via md5)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from entity_linking_spark.sources.warc import (
+        encode_warc, warc_records_from_binary,
+    )
+
+    @pandas_udf(BinaryType())
+    def make_warc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        outs = []
+        for d, t in zip(doc_id, text):
+            d = int(d)
+            rec = {
+                "record_type": "response",
+                "url": f"http://ex.org/doc/{d}",
+                "warc_date": f"2024-01-{1 + d % 28:02d}T00:00:00Z",
+                "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+                "payload": str(t).encode("utf-8"),
+            }
+            outs.append(encode_warc([rec], per_record_gzip=bool(d % 2)))
+        return pd.Series(outs)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    archives = docs.select(
+        F.col("doc_id").cast("string").alias("archive"),
+        make_warc("doc_id", "text").alias("content"),
+    )
+    recs = warc_records_from_binary(archives)
+    return recs.select(
+        F.col("archive").cast("long").alias("id"),
+        "record_type", "url", "warc_date", "http_headers", "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def _planted_token_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, text) corpus with an exactly known near-dup pair set: every
     base doc gets 8 tokens namespaced by its doc_id (disjoint token sets →
@@ -1097,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_clean": q_corpus_clean,
         "span_removal": q_span_removal,
+        "warc_records": q_warc_records,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -1386,6 +1429,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / t)), 4) AS avg_logprob
             FROM toks JOIN freq USING (tok), tot
             GROUP BY id
+        """,
+        "warc_records": """
+            -- full-construction oracle (tar_members pattern): the WARC
+            -- archives are built from the documents rows themselves, so
+            -- every parsed field is replayable from the table
+            SELECT doc_id AS id,
+                   'response' AS record_type,
+                   'http://ex.org/doc/' || doc_id AS url,
+                   '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                       || 'T00:00:00Z' AS warc_date,
+                   concat('HTTP/1.1 200 OK', chr(13), chr(10),
+                          'Content-Type: text/plain') AS http_headers,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents WHERE doc_id < 50
         """,
         "span_removal": """
             -- window-rank first-occurrence protection + index-mask strip,

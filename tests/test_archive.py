@@ -52,3 +52,64 @@ def test_uncompressed_tar_autodetected(spark, tmp_path):
     _make_tar(str(tmp_path / "plain.tar"), {"f.bin": b"\x00\x01\x02"}, mode="w")
     [row] = read_tar_members(spark, str(tmp_path / "plain.tar")).collect()
     assert bytes(row["content"]) == b"\x00\x01\x02"
+
+
+def test_warc_roundtrip_both_layouts():
+    """encode -> decode is identity for plain and per-record-gzip
+    streams, response HTTP envelopes split off, non-response records
+    keep their raw block."""
+    from entity_linking_spark.sources.warc import decode_warc, encode_warc
+
+    records = [
+        {"record_type": "warcinfo", "url": "", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "", "payload": b"software: test"},
+        {"record_type": "response", "url": "http://ex.org/a",
+         "warc_date": "2024-01-02T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+         "payload": b"<html>hello</html>"},
+        {"record_type": "request", "url": "http://ex.org/a",
+         "warc_date": "2024-01-02T00:00:00Z", "http_headers": "",
+         "payload": b"GET /a HTTP/1.1"},
+    ]
+    for gz in (False, True):
+        got = decode_warc(encode_warc(records, per_record_gzip=gz))
+        assert [r["record_type"] for r in got] == ["warcinfo", "response", "request"]
+        assert got[1]["url"] == "http://ex.org/a"
+        assert got[1]["payload"] == b"<html>hello</html>"
+        assert got[1]["http_headers"].startswith("HTTP/1.1 200 OK")
+        assert got[0]["payload"] == b"software: test"
+        assert got[2]["payload"] == b"GET /a HTTP/1.1"
+
+
+def test_warc_malformed_raises():
+    import pytest
+
+    from entity_linking_spark.sources.warc import decode_warc, encode_warc
+
+    rec = [{"record_type": "resource", "url": "u", "warc_date": "d",
+            "http_headers": "", "payload": b"0123456789"}]
+    blob = encode_warc(rec)
+    with pytest.raises(ValueError, match="version"):
+        decode_warc(b"NOTWARC/1.0\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_warc(blob[:-8])
+
+
+def test_read_warc_records_from_files(spark, tmp_path):
+    """binaryFile glob -> one row per record across multiple archives."""
+    from entity_linking_spark.sources.warc import encode_warc, read_warc_records
+
+    for i, gz in ((0, False), (1, True)):
+        recs = [{"record_type": "resource", "url": f"http://ex.org/{i}/{j}",
+                 "warc_date": "2024-01-01T00:00:00Z", "http_headers": "",
+                 "payload": f"body {i} {j}".encode()} for j in range(3)]
+        ext = "warc.gz" if gz else "warc"
+        (tmp_path / f"part{i}.{ext}").write_bytes(
+            encode_warc(recs, per_record_gzip=gz))
+    out = read_warc_records(spark, str(tmp_path / "*.warc*"))
+    rows = out.collect()
+    assert len(rows) == 6
+    urls = {r["url"] for r in rows}
+    assert urls == {f"http://ex.org/{i}/{j}" for i in (0, 1) for j in range(3)}
+    assert all(bytes(r["payload"]).startswith(b"body ") for r in rows)
+    assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)

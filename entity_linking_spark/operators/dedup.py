@@ -997,17 +997,21 @@ def remove_repeated_spans(
     normalized surviving tokens (single-space joined) for every doc, so
     output text is consistent whether or not anything was removed.
 
-    Scale shape: the span stream is (id, pos, xxhash64) rows — one
-    O(total tokens) exchange on the 8-byte span hash for the
-    first-occurrence window, then a per-doc removal-position list
-    (bounded by the doc's own token count) joins back on id and drives
-    an index-filter over the token array, all JVM HOFs.  No broadcast:
-    every intermediate is corpus-proportional.  Overlapping flagged
-    spans union their token masks; a token inside both a protected
-    first occurrence and a later flagged occurrence is removed (greedy
-    masking, same as the reference algorithm's span cuts)."""
-    from pyspark.sql import Window
-
+    Scale shape: the span stream is (id, pos, xxhash64) rows — the
+    first occurrence per span is a ``min(struct(id, pos))`` hash
+    aggregate (map-side partial combine), NOT a window rank: a
+    boilerplate span occurring 10^9 times would put all its rows in
+    ONE window sort partition (the hot-key skew the dedup family
+    guards everywhere else), while the partial min reduces it to one
+    row per partition before the exchange, and the flagging join on
+    the span hash is AQE-skew-splittable.  Then a per-doc
+    removal-position list (bounded by the doc's own token count) joins
+    back on id and drives an index-filter over the token array, all
+    JVM HOFs.  No broadcast: every intermediate is
+    corpus-proportional.  Overlapping flagged spans union their token
+    masks; a token inside both a protected first occurrence and a
+    later flagged occurrence is removed (greedy masking, same as the
+    reference algorithm's span cuts)."""
     w_toks = F.coalesce(
         words(normalize_text(F.col(text_col))),
         F.array().cast("array<string>"),
@@ -1024,10 +1028,15 @@ def remove_repeated_spans(
     spans = base.select(
         "__id", F.posexplode(F.expr(span_expr)).alias("__pos", "__h")
     )
-    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    firsts = spans.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
     flagged = (
-        spans.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        spans.join(firsts, "__h")
+        .where(
+            (F.col("__id") != F.col("__first.__id"))
+            | (F.col("__pos") != F.col("__first.__pos"))
+        )
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("__pos")).alias("__rm"))
     )

@@ -157,10 +157,12 @@ CHECKS = {
          _no_forced_broadcast),
     ],
     "span_removal": [
-        ("span keys folded to xxhash64 bigints before the window exchange",
+        ("span keys folded to xxhash64 bigints before any exchange",
          r"xxhash64"),
-        ("first-occurrence protection is a window rank, not a self-join",
-         r"RunningWindowFunction|Window"),
+        ("first occurrence via partial min aggregate (skew-safe), never "
+         "a window rank over the span partition",
+         lambda plan: re.search(r"partial_min", plan) is not None
+         and re.search(r"RunningWindowFunction", plan) is None),
         ("no broadcast hint anywhere (every set is corpus-proportional)",
          _no_forced_broadcast),
     ],

@@ -20,7 +20,6 @@ in ``http_headers`` for status/content-type filtering.
 from __future__ import annotations
 
 import gzip
-import io
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -157,3 +156,22 @@ def warc_records_from_binary(df: DataFrame, content_col: str = "content",
         F.col(archive_col).alias("path"), F.col(content_col).alias("content")
     )
     return base.mapInPandas(_expand_warcs, WARC_RECORD_SCHEMA)
+
+
+def docs_from_response_records(records: DataFrame) -> DataFrame:
+    """Bridge WARC records to the hygiene pipeline's corpus shape:
+    response records → (id, url, text), ready for
+    ``plans/corpus_clean.py:clean_corpus`` (whose URL-dedup stage then
+    collapses recrawls of the same canonical page).
+
+    ``id`` is the xxhash64 of (url, warc_date) — deterministic across
+    runs and distinct across recrawls of one url; bodies decode as
+    UTF-8 with replacement (charset sniffing beyond UTF-8 is a decoder
+    seam, same policy as the HTTP envelope split)."""
+    from pyspark.sql import functions as F
+
+    return records.where(F.col("record_type") == "response").select(
+        F.xxhash64("url", "warc_date").alias("id"),
+        "url",
+        F.col("payload").cast("string").alias("text"),
+    )

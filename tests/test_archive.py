@@ -113,3 +113,40 @@ def test_read_warc_records_from_files(spark, tmp_path):
     assert urls == {f"http://ex.org/{i}/{j}" for i in (0, 1) for j in range(3)}
     assert all(bytes(r["payload"]).startswith(b"body ") for r in rows)
     assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)
+
+
+def test_docs_from_response_records_feeds_clean_corpus(spark, tmp_path):
+    """WARC -> corpus bridge -> cleaning pipeline end-to-end: recrawls
+    of one canonical URL collapse at the URL-dedup stage."""
+    from entity_linking_spark.operators._cache import cache_scope
+    from entity_linking_spark.plans.corpus_clean import CleanConfig, clean_corpus
+    from entity_linking_spark.sources.warc import (
+        docs_from_response_records, encode_warc, read_warc_records,
+    )
+
+    recs = []
+    for j, (url, date) in enumerate([
+        ("http://ex.org/a?utm_source=x", "2024-01-01T00:00:00Z"),
+        ("http://ex.org/a", "2024-02-01T00:00:00Z"),  # recrawl, same canon
+        ("http://ex.org/b", "2024-01-01T00:00:00Z"),
+    ]):
+        recs.append({
+            "record_type": "response", "url": url, "warc_date": date,
+            "http_headers": "HTTP/1.1 200 OK",
+            "payload": " ".join(f"p{j}w{k}" for k in range(8)).encode(),
+        })
+    recs.append({"record_type": "warcinfo", "url": "", "warc_date": "",
+                 "http_headers": "", "payload": b"meta"})
+    (tmp_path / "crawl.warc").write_bytes(encode_warc(recs))
+
+    docs = docs_from_response_records(
+        read_warc_records(spark, str(tmp_path / "crawl.warc")))
+    assert docs.count() == 3  # warcinfo filtered out
+    with cache_scope():
+        out, report = clean_corpus(
+            docs, None, CleanConfig(min_tokens=3, near_dup_threshold=0.99))
+        urls = {r["url"] for r in out.collect()}
+    assert report["rows_in"] == 3
+    assert report["url_dedup"] == 2
+    assert urls == {"http://ex.org/a?utm_source=x", "http://ex.org/b"} or \
+           urls == {"http://ex.org/a", "http://ex.org/b"}

@@ -279,6 +279,43 @@ def ann_recall_at_sf(spark, sf_dir: str, k: int = 10, n_queries: int = 500,
     }
 
 
+def _el_headline_region(spark, cores: int, fixture) -> tuple:
+    """THE headline el_pipeline measurement protocol, shared verbatim by
+    run_headline and run_el_probe so the --el-probe distributions stay
+    comparable with headline numbers by construction (protocol drift
+    between the two would invalidate every el_ab.py adjudication —
+    CLAUDE.md rules 2/9).
+
+    Warm session fixed costs once — full Python-worker pool spawn (a
+    pandas-UDF job across > cores partitions), codegen JIT, Arrow
+    init — then run the el hot path COLD (pays one-time Catalyst
+    analysis + codegen; headline swings of 33-72 s across sessions were
+    partly this placement) and once WARM from scratch-built DataFrames.
+    Returns (cold_wall, warm_wall, n_pairs, n_cc_nodes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_linking_spark.operators._cache import release_cached
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        return x * 1.0
+
+    spark.range(200_000).repartition(2 * cores).select(
+        F.sum(_warm_udf(F.col("id").cast("double")))
+    ).collect()
+
+    t0 = time.time()
+    el_hot_path(spark, fixture)
+    cold = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    release_cached()
+    t0 = time.time()
+    n_pairs, n_nodes = el_hot_path(spark, fixture)
+    warm = round(time.time() - t0, 3)
+    return cold, warm, n_pairs, n_nodes
+
+
 def run_headline(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -292,33 +329,11 @@ def run_headline(cores: int) -> dict:
     fixture = ensure_bench_fixture(spark)
     timings: dict[str, float] = {}
 
-    # Warm session fixed costs once — full Python-worker pool spawn (a
-    # pandas-UDF job across > cores partitions), codegen JIT, Arrow init —
-    # so each timed number below measures the OPERATOR, not session
-    # bring-up (CLAUDE.md perf rule #2; the scaling probes do the same).
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _warm_udf(x):
-        return x * 1.0
-
-    spark.range(200_000).repartition(2 * cores).select(
-        F.sum(_warm_udf(F.col("id").cast("double")))
-    ).collect()
-
-    # el_pipeline gets the same warm/cold split as the per-query loop
-    # below: the first pass pays its plans' one-time Catalyst analysis +
-    # codegen inside what used to be the timed region (headline swings of
-    # 33-72 s across sessions were partly this placement, partly box
-    # load); the timed pass rebuilds every DataFrame from scratch.
-    t0 = time.time()
-    el_hot_path(spark, fixture)
-    cold = {"el_pipeline": round(time.time() - t0, 3)}
-    spark.catalog.clearCache()
-    release_cached()
-    t0 = time.time()
-    n_pairs, n_edges = el_hot_path(spark, fixture)
-    timings["el_pipeline"] = round(time.time() - t0, 3)
+    el_cold, el_warm, n_pairs, n_edges = _el_headline_region(
+        spark, cores, fixture
+    )
+    cold = {"el_pipeline": el_cold}
+    timings["el_pipeline"] = el_warm
     # drop the hot path's persisted stages (feature tables, candidate
     # pairs, key streams) before the per-query loop: they are dead weight
     # from here on and would squeeze the loop's own caches
@@ -766,32 +781,12 @@ def run_el_probe(cores: int) -> dict:
     cold-then-timed split) but nothing else, so repeated invocations in
     sequential JVMs give an interleaved distribution for the r4 → r5
     bench-swing adjudication (VERDICT r04 task #2)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-
-    from entity_linking_spark.operators._cache import release_cached
     from entity_linking_spark.session import get_spark
 
     spark = get_spark(app_name=f"el-ab-{os.getpid()}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     fixture = ensure_bench_fixture(spark)
-
-    @pandas_udf("double")
-    def _warm_udf(x):
-        return x * 1.0
-
-    spark.range(200_000).repartition(2 * cores).select(
-        F.sum(_warm_udf(F.col("id").cast("double")))
-    ).collect()
-
-    t0 = time.time()
-    el_hot_path(spark, fixture)
-    cold = round(time.time() - t0, 3)
-    spark.catalog.clearCache()
-    release_cached()
-    t0 = time.time()
-    n_pairs, n_nodes = el_hot_path(spark, fixture)
-    wall = round(time.time() - t0, 3)
+    cold, wall, n_pairs, n_nodes = _el_headline_region(spark, cores, fixture)
     spark.stop()
     return {"cores": cores, "el_wall_warm": wall, "el_wall_cold": cold,
             "pairs": n_pairs, "cc_nodes": n_nodes}

@@ -96,10 +96,14 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     ``df.inputFiles()`` lists the scan's files from the already-analyzed
     plan; byte-sized split count is estimated as Σ ceil(size /
     maxPartitionBytes) over locally-statable files.  A frame with no
-    input files is driver-local (createDataFrame / literal range / a
-    foreachBatch micro-batch) and therefore small: repartitioning it is
-    trivially cheap.  If ANY file is NOT locally statable (object-store
-    URI), the guard STANDS DOWN and passes the frame through — a few
+    input files is NOT assumed small (ADVICE r04 — JDBC / Range / V2
+    sources report none but can be arbitrarily large): only frames
+    whose logical leaves are bounded by construction (LocalRelation /
+    LogicalRDD, or an InMemoryRelation whose size estimate says fewer
+    than p splits) are widened; everything else passes through — see
+    the branch comments below.  If ANY file is NOT locally statable
+    (object-store URI), the guard STANDS DOWN and passes the frame
+    through — a few
     huge S3 files are many byte-sized splits, and guessing low here
     would inject a full-input shuffle at exactly the scale where that is
     catastrophic; the starved-scan problem this guard exists for is a

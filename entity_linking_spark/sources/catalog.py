@@ -288,7 +288,12 @@ class Catalog:
                             c for c in ("__append_tag", "__batch_id")
                             if c not in existing
                         ]
-                        if missing and tag is not None:
+                        # only the TAG column is load-bearing for a
+                        # tagged append (the overwrite filter needs it);
+                        # a table with __append_tag but no __batch_id —
+                        # what the pre-r5 tagged-append path created —
+                        # appends fine after dropping the batch column
+                        if "__append_tag" in missing and tag is not None:
                             raise ValueError(
                                 f"stage '{name}' predates append-tag "
                                 "stamping (no __append_tag column); run a "

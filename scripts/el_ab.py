@@ -40,16 +40,29 @@ def main() -> None:
     for i in range(reps):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--el-probe"],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
         )
+        if out.returncode != 0:
+            # surface the child's traceback and keep the completed reps
+            # (each is minutes of fresh-JVM work) instead of discarding
+            # the distribution on one failure
+            print(f"# rep {i + 1}/{reps} FAILED (exit {out.returncode}):",
+                  file=sys.stderr)
+            print(out.stderr[-4000:], file=sys.stderr)
+            break
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         runs.append(rec)
         print(f"# rep {i + 1}/{reps}: warm {rec['el_wall_warm']} s "
               f"(cold {rec['el_wall_cold']} s)", file=sys.stderr)
+    if not runs:
+        print(json.dumps({"metric": "el_pipeline_warm_wall_distribution",
+                          "reps": 0, "error": "all reps failed"}))
+        sys.exit(1)
     warm = [r["el_wall_warm"] for r in runs]
     print(json.dumps({
         "metric": "el_pipeline_warm_wall_distribution",
-        "reps": reps,
+        "reps": len(runs),
+        "reps_requested": reps,
         "walls_warm": warm,
         "median": round(statistics.median(warm), 3),
         "min": min(warm),

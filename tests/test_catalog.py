@@ -393,6 +393,19 @@ def test_iceberg_append_aligns_to_pre_stamping_table_schema(spark, tmp_path):
         cat.append("legacy", _FakeAppendDF(
             spark.createDataFrame([(2, "b")], "id long, v string"), []), tag="x")
 
+    # a table with __append_tag but NO __batch_id — exactly what the
+    # pre-r5 tagged-append path created — must accept a tagged append
+    # (only the tag column is load-bearing for the overwrite filter),
+    # dropping just the batch column
+    cat._iceberg_columns = lambda name: ["id", "v", "__append_tag"]
+    calls_mid = []
+    cat.append("half", _FakeAppendDF(
+        spark.createDataFrame([(9, "h")], "id long, v string"), calls_mid),
+        tag="z")
+    assert ("drop", ("__batch_id",)) in calls_mid
+    assert any(c[0] == "overwrite" and "__append_tag" in c[1]
+               for c in calls_mid)
+
     # a post-stamping table (helper columns present) appends unmodified
     cat._iceberg_columns = lambda name: ["id", "v", "__append_tag", "__batch_id"]
     calls2 = []

@@ -90,7 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
              "plans/corpus_clean.py) and write survivors + the attrition "
              "report",
     )
-    cln.add_argument("--docs", required=True, help="input parquet (id, text[, url])")
+    cln.add_argument("--docs", required=True,
+                     help="input parquet (id, text[, url]) — or a WARC "
+                          "glob with --warc")
+    cln.add_argument("--warc", action="store_true",
+                     help="treat --docs as a .warc/.warc.gz glob: response "
+                          "records become the corpus (sources/warc.py)")
     cln.add_argument("--out", required=True, help="output parquet dir")
     cln.add_argument("--benchmark",
                      help="held-out eval parquet (id, text) for decontamination")
@@ -188,7 +193,16 @@ def main(argv: list[str] | None = None) -> int:
             CleanConfig, clean_corpus,
         )
 
-        docs = spark.read.parquet(args.docs)
+        if args.warc:
+            from entity_linking_spark.sources.warc import (
+                docs_from_response_records, read_warc_records,
+            )
+
+            docs = docs_from_response_records(
+                read_warc_records(spark, args.docs)
+            )
+        else:
+            docs = spark.read.parquet(args.docs)
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
         cfg = CleanConfig(
             url_col=args.url_col or None,

@@ -150,3 +150,25 @@ def test_docs_from_response_records_feeds_clean_corpus(spark, tmp_path):
     assert report["url_dedup"] == 2
     assert urls == {"http://ex.org/a?utm_source=x", "http://ex.org/b"} or \
            urls == {"http://ex.org/a", "http://ex.org/b"}
+
+
+def test_cli_clean_warc_mode(spark, tmp_path, capsys):
+    """cli.py clean --warc cleans a crawl archive end-to-end."""
+    import json as _json
+
+    from entity_linking_spark.cli import main as cli_main
+    from entity_linking_spark.sources.warc import encode_warc
+
+    recs = [{"record_type": "response", "url": f"http://ex.org/{j}",
+             "warc_date": "2024-01-01T00:00:00Z",
+             "http_headers": "HTTP/1.1 200 OK",
+             "payload": " ".join(f"w{j}x{k}" for k in range(8)).encode()}
+            for j in range(4)]
+    (tmp_path / "c.warc").write_bytes(encode_warc(recs))
+    out = str(tmp_path / "clean")
+    rc = cli_main(["clean", "--docs", str(tmp_path / "c.warc"), "--warc",
+                   "--out", out, "--min-tokens", "3"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out)["report"]
+    assert rep["rows_in"] == 4 and rep["rows_out"] == 4
+    assert spark.read.parquet(out).count() == 4

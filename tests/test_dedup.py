@@ -616,3 +616,23 @@ def test_remove_repeated_spans_within_doc(spark):
     assert out["clean_text"].startswith(span + " mid")
     assert out["n_tokens_removed"] == 8
     assert out["clean_text"] == span + " mid end"
+
+
+def test_remove_repeated_spans_idempotent(spark):
+    """Running removal on its own output changes nothing: the surviving
+    corpus has no repeated k-span left by construction (the fixpoint
+    property a pipeline that re-runs cleaning relies on)."""
+    from entity_linking_spark.operators.dedup import remove_repeated_spans
+
+    span = " ".join(f"s{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, span + " one tail"), (2, "lead " + span + " two"),
+         (3, span + " " + span + " three")],
+        "id long, text string",
+    )
+    once = remove_repeated_spans(docs, k=5).select(
+        "id", F.col("clean_text").alias("text"))
+    twice = {r["id"]: r for r in remove_repeated_spans(once, k=5).collect()}
+    for r in once.collect():
+        assert twice[r["id"]]["clean_text"] == r["text"]
+        assert twice[r["id"]]["n_tokens_removed"] == 0

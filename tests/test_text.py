@@ -136,3 +136,26 @@ def test_canonical_url_shapes(spark):
     for (u, want_c, want_h), r in zip(cases, got):
         assert r["c"] == want_c, (u, r["c"])
         assert r["h"] == want_h, (u, r["h"])
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a closure: applying it to its own output is the
+    identity — the property that makes it safe as a dedup KEY (keys
+    derived from keys never drift)."""
+    from entity_linking_spark.functions.url import canonical_url
+
+    urls = [
+        "HTTP://Example.COM:80/a/?utm_source=x&q=1#frag",
+        "https://Sub.Ex.org:443/path/",
+        "https://ex.org/p?b=2&a=1&fbclid=zzz",
+        "https://ex.org/",
+        "http://ex.org:8080/z?ref=abc&x=9",
+        "http://ex.org/p?utm_campaign&keep=1&also=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url("u").alias("c1"),
+        canonical_url(canonical_url("u")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r

@@ -207,3 +207,52 @@ def test_dup_word_fraction_matches_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - ref_dup_word_fraction(t)) < 1e-12, repr(t)
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.integers(0, 4),                       # frames
+    st.sampled_from([2, 4, 6]),              # h
+    st.sampled_from([2, 4, 8]),              # w
+    st.sampled_from(["420jpeg", "422", "444", "mono"]),
+    st.tuples(st.integers(1, 60), st.integers(1, 2)),
+    st.randoms(use_true_random=False),
+)
+def test_y4m_roundtrip_property(n, h, w, cspace, fps, rnd):
+    from entity_linking_spark.operators.multimodal import (
+        _Y4M_SUBSAMPLING, decode_y4m, encode_y4m,
+    )
+
+    dw, dh = _Y4M_SUBSAMPLING[cspace]
+    cw, ch = (0, 0) if cspace == "mono" else (w // dw, h // dh)
+    seed = rnd.randint(0, 2**31 - 1)
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.randint(0, 256, (n, ch, cw), dtype=np.uint8)
+    v = rng.randint(0, 256, (n, ch, cw), dtype=np.uint8)
+    y2, u2, v2, fn, fd = decode_y4m(encode_y4m(y, u, v, fps=fps, cspace=cspace))
+    assert (fn, fd) == fps
+    assert y2.shape == y.shape and (y2 == y).all()
+    assert (u2 == u).all() and (v2 == v).all()
+
+
+@settings(deadline=None, max_examples=30)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=5),
+       st.booleans())
+def test_warc_roundtrip_adversarial_payloads(payloads, gz):
+    """Length-prefixed framing survives payloads containing CRLF runs
+    and fake record headers ('\\r\\n\\r\\nWARC/1.0') — the bytes a naive
+    delimiter-scanning parser would trip on."""
+    from entity_linking_spark.sources.warc import decode_warc, encode_warc
+
+    records = [
+        {"record_type": "resource", "url": f"http://ex.org/{i}",
+         "warc_date": "2024-01-01T00:00:00Z", "http_headers": "",
+         "payload": b"\r\n\r\nWARC/1.0\r\n" + p}
+        for i, p in enumerate(payloads)
+    ]
+    got = decode_warc(encode_warc(records, per_record_gzip=gz))
+    assert len(got) == len(records)
+    for rec, orig in zip(got, records):
+        assert rec["payload"] == orig["payload"]
+        assert rec["url"] == orig["url"]
